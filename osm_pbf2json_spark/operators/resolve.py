@@ -1,0 +1,178 @@
+"""Coordinate resolution: J1 (way→node join) and J2 (recursive relations).
+
+Reference: way resolution `/root/reference/src/lib/mod.rs:36-47` (ordered,
+missing refs silently dropped), relation resolution `mod.rs:49-75`
+(DFS over members with cycle guard, convex hull applied at every nesting
+level).
+
+Spark shape (scale-first):
+- J1 is `posexplode(refs)` → hash equi-join against nodes on id →
+  `groupBy(way_id)` + `array_sort(collect_list(struct(pos,lon,lat)))`.
+  The join is the engine's hottest shuffle at 100 TB: node refs are
+  skewed (mega-junction nodes), so AQE skew-join stays on and callers can
+  pre-repartition; the aggregation is partial (map-side combine) because
+  collect_list groups by the exploded way_id which the join already
+  co-located.
+- J2 runs bounded driver-side rounds (max relation nesting depth, ≤ a few
+  in OSM), each round a join of unresolved relations against the
+  already-resolved pool. Cycles are broken by treating intra-cycle member
+  edges as empty (deterministic; reference behavior is traversal-order
+  dependent — see SURVEY.md §4 determinism notes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from ..functions.geometry import compound_coordinates
+from .closure import _pin
+
+COORD_ARR = "array<struct<lon:double,lat:double>>"
+
+
+def resolve_way_coords(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+    """J1: (way id, refs) → ordered coords, dropping refs with no node.
+
+    Returns DataFrame(id BIGINT, coords ARRAY<STRUCT<lon,lat>>).
+    Ways whose refs all miss resolve to an empty array (reference yields an
+    empty coordinate vec, mod.rs:36-47); ways with empty refs likewise.
+    """
+    exploded = ways.select("id", F.posexplode_outer("refs").alias("pos", "ref"))
+    joined = exploded.join(
+        nodes.select(F.col("id").alias("ref"), "lon", "lat"), "ref", "inner"
+    )
+    resolved = joined.groupBy("id").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "lon", "lat"))).alias("pcoords")
+    )
+    # left join back so ways with zero resolvable refs keep an empty array
+    return ways.select("id").join(resolved, "id", "left").select(
+        "id",
+        F.coalesce(
+            F.transform("pcoords", lambda s: F.struct(s.lon.alias("lon"), s.lat.alias("lat"))),
+            F.array().cast(COORD_ARR),
+        ).alias("coords"),
+    )
+
+
+def resolve_relation_coords(
+    relations: DataFrame,
+    way_coords: DataFrame,
+    nodes: DataFrame,
+    max_rounds: int = 16,
+) -> DataFrame:
+    """J2: resolve every relation in `relations` to its compound (hull)
+    coordinates, bottom-up over nesting levels.
+
+    `relations` must already be the dependency-closure set (all member
+    relations present). Returns DataFrame(id, coords ARRAY<STRUCT<lon,lat>>).
+    """
+    spark = relations.sparkSession
+    members = relations.select(
+        "id", F.posexplode_outer("members").alias("pos", "m")
+    ).select("id", "pos", "m.mtype", "m.mid")
+
+    # node + way member coordinates resolve in one shot
+    node_part = (
+        members.filter(F.col("mtype") == "node")
+        .join(nodes.select(F.col("id").alias("mid"), "lon", "lat"), "mid", "inner")
+        .select("id", "pos", F.array(F.struct("lon", "lat")).alias("mcoords"))
+    )
+    way_part = (
+        members.filter(F.col("mtype") == "way")
+        .join(
+            way_coords.select(F.col("id").alias("mid"), F.col("coords").alias("mcoords")),
+            "mid",
+            "inner",
+        )
+        .select("id", "pos", "mcoords")
+    )
+    static_parts = _pin(node_part.unionByName(way_part))
+
+    rel_members = _pin(
+        members.filter(F.col("mtype") == "relation")
+        .select("id", "pos", F.col("mid").alias("child"))
+    )
+
+    # Relation→relation edges are tiny (relations are <1% of entities and
+    # nesting is shallow); the level assignment is driver-side over that
+    # edge list only — never over nodes/ways.
+    edges = rel_members.select("id", "child").distinct().collect()
+    rel_ids = {r[0] for r in relations.select("id").collect()}
+    children: dict[int, set] = {i: set() for i in rel_ids}
+    for r in edges:
+        if r["child"] in rel_ids:
+            children[r["id"]].add(r["child"])
+
+    resolved_order: list[int] = []
+    level_of: dict[int, int] = {}
+    pending = set(rel_ids)
+    for level in range(max_rounds):
+        ready = [i for i in pending if all(c in level_of for c in children[i])]
+        if not ready:
+            break
+        for i in ready:
+            level_of[i] = level
+            resolved_order.append(i)
+        pending -= set(ready)
+    # anything still pending is part of a cycle: break by ignoring
+    # intra-pending child edges (deterministic cycle guard)
+    for i in sorted(pending):
+        children[i] = {c for c in children[i] if c in level_of}
+        level_of[i] = max_rounds
+
+    levels_df = spark.createDataFrame(
+        [(i, level_of[i]) for i in rel_ids], "id long, level int"
+    )
+
+    hull_udf = F.pandas_udf(_hull_series, COORD_ARR)
+
+    resolved: DataFrame | None = None
+    max_level = max(level_of.values(), default=0)
+    for level in range(max_level + 1):
+        this_ids = levels_df.filter(F.col("level") == level).select("id")
+        if level == 0:
+            child_part = spark.createDataFrame([], "id long, pos int, mcoords " + COORD_ARR)
+        else:
+            child_part = rel_members.join(
+                resolved.select(F.col("id").alias("child"), F.col("coords").alias("mcoords")),
+                "child",
+                "inner",
+            ).select("id", "pos", "mcoords")
+        parts = static_parts.unionByName(child_part).join(this_ids, "id", "left_semi")
+        lvl = (
+            parts.groupBy("id")
+            .agg(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "mcoords"))),
+                        lambda s: s.mcoords,
+                    )
+                ).alias("flat")
+            )
+            .join(this_ids, "id", "right")
+            .select(
+                "id",
+                F.coalesce("flat", F.array().cast(COORD_ARR)).alias("flat"),
+            )
+            .select("id", hull_udf("flat").alias("coords"))
+        )
+        resolved = _pin(lvl if resolved is None else resolved.unionByName(lvl))
+
+    if resolved is None:
+        return spark.createDataFrame([], "id long, coords " + COORD_ARR)
+    return resolved
+
+
+def _hull_series(flat: pd.Series) -> pd.Series:
+    """Arrow-batched hull: one hull per relation's flattened member coords."""
+    out = []
+    for arr in flat:
+        if arr is None or len(arr) == 0:
+            out.append([])
+            continue
+        pts = np.array([(c["lon"], c["lat"]) for c in arr], dtype=np.float64)
+        out.append([{"lon": x, "lat": y} for x, y in compound_coordinates(pts)])
+    return pd.Series(out)
