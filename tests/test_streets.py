@@ -1,0 +1,94 @@
+"""streets() parity: unit goldens from streets.rs tests + integration
+goldens from integration_test.rs:46-89."""
+
+import json
+import math
+
+import pytest
+
+from osm_pbf2json_spark.operators.streets import extract_streets, streets
+from osm_pbf2json_spark.sinks import streets_geojson, streets_json_lines
+from tests.test_objects import make_tables
+
+
+def _mini_streets(spark, nodes, ways):
+    t = make_tables(spark, nodes=nodes, ways=ways)
+    return extract_streets(t.ways, t.nodes).collect()
+
+
+def test_one_street_with_three_segments(spark):
+    # streets.rs:283-313
+    nodes = [(1, 52.0, 13.0, {}), (2, 52.0, 14.0, {}), (3, 53.0, 14.0, {}), (4, 53.0, 15.0, {})]
+    ways = [
+        (42, [1, 2], {"name": "street a"}),
+        (41, [2, 3], {"name": "street a"}),
+        (43, [3, 4], {"name": "street a"}),
+    ]
+    rows = _mini_streets(spark, nodes, ways)
+    assert len(rows) == 1
+    segs = {s["way_id"]: [(c["lon"], c["lat"]) for c in s["coords"]] for s in rows[0]["segments"]}
+    assert segs == {
+        42: [(13.0, 52.0), (14.0, 52.0)],
+        41: [(14.0, 52.0), (14.0, 53.0)],
+        43: [(14.0, 53.0), (15.0, 53.0)],
+    }
+    assert rows[0]["id"] == 42 ^ 41 ^ 43
+
+
+def test_connected_ways_with_distinct_names(spark):
+    # streets.rs:315-330
+    nodes = [(1, 52.0, 13.0, {}), (2, 52.0, 14.0, {}), (3, 53.0, 14.0, {})]
+    ways = [(42, [1, 2], {"name": "street a"}), (41, [2, 3], {"name": "street b"})]
+    assert len(_mini_streets(spark, nodes, ways)) == 2
+
+
+def test_cluster_unrelated_segments_split(spark):
+    # streets.rs:371-377 (distance 1 > pad 0.002 → two streets)
+    nodes = [(1, 1.0, 0.0, {}), (2, 3.0, 0.0, {}), (3, 1.0, 1.0, {}), (4, 3.0, 1.0, {})]
+    ways = [(42, [1, 2], {"name": "s"}), (43, [3, 4], {"name": "s"})]
+    assert len(_mini_streets(spark, nodes, ways)) == 2
+
+
+def test_cluster_bbox_overlap_without_touching(spark):
+    # streets.rs:401-408: bbox overlap suffices, no geometric intersection
+    nodes = [(1, 1.0, 1.0, {}), (2, 3.0, 3.0, {}), (3, 0.0, 2.0, {}), (4, 2.0, 3.0, {})]
+    ways = [(42, [1, 2], {"name": "s"}), (43, [3, 4], {"name": "s"})]
+    assert len(_mini_streets(spark, nodes, ways)) == 1
+
+
+def test_street_length_and_loc(spark):
+    # street_length golden (streets.rs:355-368) through the pipeline
+    nodes = [(1, 1.0, 0.0, {}), (2, 3.0, 0.0, {}), (3, 4.0, 1.0, {})]
+    ways = [(42, [1, 2], {"name": "s"}), (43, [2, 3], {"name": "s"})]
+    rows = _mini_streets(spark, nodes, ways)
+    assert len(rows) == 1
+    assert rows[0]["length"] == pytest.approx(2.0 + math.sqrt(2.0), abs=1e-12)
+
+
+def test_streets_alexanderstrasse_geojson(alexanderplatz):
+    # integration_test.rs:46-59 → exactly 1 Feature
+    df = streets(alexanderplatz, name="Alexanderstraße")
+    fc = json.loads(streets_geojson(df))
+    assert fc["type"] == "FeatureCollection"
+    assert len(fc["features"]) == 1
+    assert fc["features"][0]["geometry"]["type"] == "MultiLineString"
+    assert fc["features"][0]["properties"]["name"] == "Alexanderstraße"
+
+
+def test_rosa_luxemburg_street(alexanderplatz):
+    # integration_test.rs:61-72 → 1 JSON line containing the name
+    df = streets(alexanderplatz, name="Rosa-Luxemburg-Straße")
+    lines = [r["value"] for r in streets_json_lines(df).collect()]
+    assert len(lines) == 1
+    assert "Rosa-Luxemburg-Straße" in lines[0]
+    parsed = json.loads(lines[0])
+    assert set(parsed.keys()) == {"id", "name", "length", "loc"}
+
+
+def test_split_street_by_boundary(wilhelmstrasse):
+    # integration_test.rs:74-89 → 2 streets: Kreuzberg + Mitte
+    df = streets(wilhelmstrasse, name="Wilhelmstraße", boundary=10)
+    lines = sorted(r["value"] for r in streets_json_lines(df).collect())
+    assert len(lines) == 2
+    assert "Wilhelmstraße" in lines[0] and "Kreuzberg" in lines[0]
+    assert "Wilhelmstraße" in lines[1] and "Mitte" in lines[1]
