@@ -1,0 +1,115 @@
+"""Text-analysis functions for the training-data pipeline (graft ops).
+
+All hot-path functions are pure Column expressions (JVM, whole-stage
+codegen) — no Python per row:
+
+- `token_count` / `regex_token_count`: whitespace + BPE-ish tokenization
+- `quality_features` / `quality_score`: length / punctuation / stopword
+  ratio heuristics
+- `lang_id`: stopword-profile n-of-m voting over a fixed tiny lexicon
+- `fingerprint`: normalized-text hash (exact-dup key)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+import pyspark.sql.functions as F
+
+# tiny public stopword profiles (top function words per language)
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "nicht"],
+    "fr": ["le", "la", "les", "et", "de", "des", "un", "une", "est", "dans"],
+    "es": ["el", "la", "los", "las", "de", "que", "y", "en", "un", "es"],
+    "it": ["il", "la", "di", "che", "e", "un", "per", "con", "del", "non"],
+    "pt": ["o", "a", "os", "as", "de", "que", "e", "em", "um", "não"],
+    "nl": ["de", "het", "een", "en", "van", "is", "dat", "op", "te", "met"],
+    "pl": ["i", "w", "na", "z", "do", "się", "jest", "nie", "to", "że"],
+}
+
+_BPE_ISH = r"[A-Za-zÀ-ÿ]+|[0-9]+|[^\sA-Za-zÀ-ÿ0-9]"
+
+
+def words(text: Column) -> Column:
+    """Lower-cased whitespace tokens (empty strings filtered)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(text))
+
+
+def regex_token_count(text: Column) -> Column:
+    """BPE-ish token count: letter runs, digit runs, single symbols."""
+    return F.size(F.regexp_extract_all(text, F.lit(_BPE_ISH), 0))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    n_chars = F.length(text)
+    toks = words(text)
+    n_tokens = F.size(toks)
+    mean_tok = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(0.0)
+    n_punct = F.length(F.regexp_replace(text, r"[^\.,;:!\?]", ""))
+    n_upper = F.length(F.regexp_replace(text, r"[^A-Z]", ""))
+    n_digit = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    sw = F.array(*[F.lit(w) for ws in _STOPWORDS.values() for w in ws])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(sw, w)))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": mean_tok,
+        "punct_ratio": F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0),
+        "upper_ratio": F.when(n_chars > 0, n_upper.cast("double") / n_chars).otherwise(0.0),
+        "digit_ratio": F.when(n_chars > 0, n_digit.cast("double") / n_chars).otherwise(0.0),
+        "stopword_ratio": F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(
+            0.0
+        ),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """[0,1] heuristic: long-enough docs with natural punctuation/stopword
+    profiles score high; shouty/numeric/fragmented text scores low."""
+    f = quality_features(text)
+    length_term = F.least(f["n_tokens"].cast("double") / 100.0, F.lit(1.0))
+    stop_term = F.least(f["stopword_ratio"] * 4.0, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - f["punct_ratio"] * 5.0)
+    upper_pen = F.greatest(F.lit(0.0), F.lit(1.0) - f["upper_ratio"] * 3.0)
+    digit_pen = F.greatest(F.lit(0.0), F.lit(1.0) - f["digit_ratio"] * 3.0)
+    return (
+        (length_term * 0.3 + stop_term * 0.3)
+        + (punct_pen + upper_pen + digit_pen) / 3.0 * 0.4
+    ).alias("quality")
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-vote language id over the profile table (pure Catalyst:
+    one array_intersect per language, greatest-of wins, ties by language
+    order). Unknown → 'und'."""
+    toks = F.array_distinct(words(text))
+    scores = [
+        (lang, F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws]))))
+        for lang, ws in _STOPWORDS.items()
+    ]
+    best = None
+    best_score = None
+    # fold into a single struct-compare chain: (score, -index) max
+    expr = F.struct(F.lit(-1).alias("s"), F.lit("und").alias("lang"))
+    for lang, score in reversed(scores):
+        cand = F.struct(score.alias("s"), F.lit(lang).alias("lang"))
+        expr = F.when(cand["s"] > expr["s"], cand).otherwise(expr)
+    return F.when(expr["s"] > 0, expr["lang"]).otherwise(F.lit("und"))
+
+
+def normalize(text: Column) -> Column:
+    """Dedup normalization: lower, collapse whitespace, strip punctuation."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^\p{L}\p{N}\s]", " ")
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return t
+
+
+def fingerprint(text: Column) -> Column:
+    """64-bit document fingerprint over normalized text (exact-dup key)."""
+    return F.xxhash64(normalize(text))

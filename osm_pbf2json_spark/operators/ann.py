@@ -1,0 +1,119 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+- `cosine_topk_bruteforce`: exact baseline — query vectors broadcast as
+  literal arrays; dot/norm in zip_with+aggregate (JVM); window top-k.
+- `cosine_topk_lsh`: scale path — random-hyperplane LSH buckets (same
+  deterministic planes for corpus and queries) with multi-probe (flip
+  each bit once) to keep recall; exact cosine re-rank inside buckets.
+  At 10¹² rows the bucket join touches ~(probes/2^planes) of the corpus
+  per query instead of all of it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+
+def _dot(x, y):
+    return F.aggregate(F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda s, z: s + z)
+
+
+def _lit_vec(v) -> "F.Column":
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def cosine_topk_bruteforce(
+    df: DataFrame,
+    queries: list[tuple],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """queries: [(qid, vector)]. Returns (qid, neighbor_id, cosine, rank).
+
+    One pass over the corpus computes every query's scores as independent
+    columns (no join, no shuffle of the corpus); the only shuffle is the
+    per-query top-k window over corpus_rows × n_queries scored rows.
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(_dot(vec, vec))
+    scored = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(qid)).alias("qid"),
+                        (
+                            _dot(vec, _lit_vec(q))
+                            / (norm * float(np.linalg.norm(np.asarray(q, float))))
+                        ).alias("cosine"),
+                    )
+                    for qid, q in queries
+                ]
+            )
+        ).alias("s"),
+    ).select("neighbor_id", "s.qid", "s.cosine")
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _plane_buckets(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.normal(size=(n_planes, dim))
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    queries: list[tuple],
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """LSH-bucketed variant: corpus hashed once; each query probes its own
+    bucket plus all 1-bit-flip neighbors (multi-probe)."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = _plane_buckets(n_planes, dim, seed)
+
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        key = (((m @ planes.T) > 0) * (1 << np.arange(n_planes))).sum(axis=1)
+        return pd.Series(key.astype(np.int64))
+
+    bucket_udf = F.pandas_udf(bucket, "long")
+    corpus = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("bucket", bucket_udf("v"))
+
+    spark = df.sparkSession
+    qrows = []
+    for qid, q in queries:
+        qv = np.asarray(q, dtype=np.float64)
+        base = int((((qv @ planes.T) > 0) * (1 << np.arange(n_planes))).sum())
+        probes = [base] + [base ^ (1 << i) for i in range(n_planes)]
+        for p in probes:
+            qrows.append((int(qid), [float(x) for x in qv], int(p)))
+    qdf = spark.createDataFrame(qrows, "qid long, qv array<double>, bucket long")
+
+    norm = lambda x: F.sqrt(_dot(x, x))  # noqa: E731
+    scored = (
+        corpus.join(F.broadcast(qdf), "bucket")
+        .withColumn("cosine", _dot(F.col("v"), F.col("qv")) / (norm("v") * norm("qv")))
+        .select("qid", "neighbor_id", "cosine")
+        .distinct()
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,334 @@
+"""Deduplication operators for the training-data pipeline (graft ops).
+
+Every variant is expressed so the heavy lifting stays in Catalyst:
+
+- `exact_dedup`: hash-groupBy on the normalized-text fingerprint; keeps
+  the smallest id per group (deterministic survivor).
+- `ngram_jaccard_pairs`: shingle explode → shared-shingle equi-join →
+  |A∩B| via count, |A∪B| via |A|+|B|−|A∩B| — pure joins/aggregates.
+- `minhash_lsh_pairs`: k permutations of shingle hashes via
+  (a·x+b) mod p as a transform over a literal (a,b) array (JVM),
+  positional min via posexplode+groupBy, banding into LSH buckets,
+  bucket equi-join for candidates, exact Jaccard verify.
+- `simhash`: 64-bit sign-sum over token hashes — token hashing via
+  xxhash64 inside a higher-order transform (JVM), bit fold in one
+  Arrow-batched pandas UDF (the only Python step, O(tokens) per doc).
+- `embedding_neardup_pairs`: cosine over `array<float>` with
+  zip_with/aggregate (JVM) after an LSH bucket join (random-hyperplane
+  signs, deterministic seed).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+from ..functions.text import fingerprint, normalize
+
+# 2^31-1: keeps a·x+b < 2^62 so ANSI-mode int64 arithmetic never overflows
+_MERSENNE_P = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One survivor row id per distinct normalized text."""
+    return (
+        df.select(F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("id").alias("survivor_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of normalized text (JVM: split + transform +
+    slice — no UDF)."""
+    ws = F.split(normalize(text), " ")
+    k = F.size(ws) - (n - 1)
+    return F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(ws, " ")))
+
+
+def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"),
+        )
+        .withColumn("h", F.xxhash64("sh"))
+        .drop("sh")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All pairs (a<b) with word-n-gram Jaccard ≥ threshold.
+
+    Shared-shingle join bounds the candidate set: only docs sharing ≥1
+    shingle ever meet. At 100 TB add the minhash pre-filter below; this
+    operator is the exact verifier both paths share.
+    """
+    sh = _shingle_table(df, text_col, id_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("a"), "h")
+    b = sh.select(F.col("id").alias("b"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("szb")), "b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("sza") + F.col("szb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+def _perm_coeffs(num_perm: int, seed: int = 42):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, _MERSENNE_P, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE_P, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_perm: int = 64,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig array<long>[num_perm]) minhash signatures, fully JVM-side:
+    per-shingle permuted hashes via transform over literal coefficients,
+    positional mins via posexplode + groupBy(id, pos)."""
+    a, b = _perm_coeffs(num_perm, seed)
+    sh = _shingle_table(df, text_col, id_col, n)
+    # (a·x + b) mod p over x reduced into [0, p)
+    x = F.abs(F.col("h")) % F.lit(_MERSENNE_P)
+    perms = F.array(
+        *[
+            ((F.lit(int(ai)) * x + F.lit(int(bi))) % F.lit(_MERSENNE_P)).alias(f"p{i}")
+            for i, (ai, bi) in enumerate(zip(a, b))
+        ]
+    )
+    pos = sh.select("id", F.posexplode(perms).alias("pos", "v"))
+    mins = pos.groupBy("id", "pos").agg(F.min("v").alias("mv"))
+    return mins.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mv"))), lambda s: s.mv
+        ).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs from LSH banding, verified by exact n-gram Jaccard."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, num_perm, n, text_col, id_col)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("sig", bi * rows_per_band + 1, rows_per_band),
+                                    lambda v: v.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bh")
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "bh"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+    # exact verify: recompute Jaccard only for candidates (semi-join prune)
+    sh = _shingle_table(df, text_col, id_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    ash = sh.select(F.col("id").alias("a"), "h")
+    bsh = sh.select(F.col("id").alias("b"), "h")
+    inter = (
+        cand.join(ash, "a").join(bsh, ["b", "h"]).groupBy("a", "b").agg(
+            F.count("*").alias("n_inter")
+        )
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("szb")), "b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("sza") + F.col("szb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash long): 64-bit sign-sum fingerprint.
+
+    Token hashes computed JVM-side (xxhash64 in a transform); the bit fold
+    runs vectorized per Arrow batch (popcount-style numpy, no per-row
+    Python loops over tokens × bits)."""
+    toks = F.split(normalize(F.col(text_col)), " ")
+    hashes = F.transform(toks, lambda w: F.xxhash64(w))
+
+    def fold(hs: pd.Series) -> pd.Series:
+        out = np.zeros(len(hs), dtype=np.int64)
+        for i, arr in enumerate(hs):
+            if arr is None or len(arr) == 0:
+                continue
+            h = np.asarray(arr, dtype=np.uint64)
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+                np.int32
+            )
+            votes = (2 * bits - 1).sum(axis=0)
+            word = (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+            # two's-complement wrap into int64 (Spark LongType)
+            out[i] = int(word.sum(dtype=np.uint64).astype(np.int64))
+        return pd.Series(out)
+
+    fold_udf = F.pandas_udf(fold, "long")
+    return df.select(F.col(id_col).alias("id"), fold_udf(hashes).alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance ≤ max_hamming.
+
+    Candidate generation by block keys (split 64 bits into max_hamming+1
+    chunks — pigeonhole: any pair within distance d shares one intact
+    chunk), then exact popcount verify via bit_count (JVM)."""
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    sh = simhash(df, text_col, id_col)
+    blocks = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("block"),
+                        F.shiftrightunsigned(F.col("simhash"), bi * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bv"),
+                    )
+                    for bi in range(nblocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", "bk.block", "bk.bv")
+    cand = (
+        blocks.alias("l")
+        .join(blocks.alias("r"), ["block", "bv"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.col("l.simhash").alias("ha"),
+            F.col("r.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by cosine ≥ threshold over array<float> embeddings.
+
+    LSH bucket = sign bits against `n_planes` fixed random hyperplanes
+    (deterministic seed); exact cosine verified JVM-side with
+    zip_with + aggregate."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    rng = np.random.Generator(np.random.PCG64(seed))
+    planes = rng.normal(size=(n_planes, dim))
+
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        signs = (m @ planes.T) > 0
+        key = (signs * (1 << np.arange(n_planes))).sum(axis=1)
+        return pd.Series(key.astype(np.int64))
+
+    bucket_udf = F.pandas_udf(bucket, "long")
+    b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
+        "bucket", bucket_udf("v")
+    )
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda a_, b_: a_ * b_),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    norm = lambda x: F.sqrt(dot(x, x))  # noqa: E731
+    pairs = (
+        b.alias("l")
+        .join(b.alias("r"), "bucket")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            (
+                dot(F.col("l.v"), F.col("r.v"))
+                / (norm(F.col("l.v")) * norm(F.col("r.v")))
+            ).alias("cosine"),
+        )
+        .distinct()
+        .filter(F.col("cosine") >= threshold)
+    )
+    return pairs

@@ -46,11 +46,12 @@ class BroadcastPolygonIndex:
     (mod.rs:175, admin.rs:8-15).
     """
 
-    def __init__(self, polygon_rows: list[dict], level: int = 12):
-        self.level = level
+    def __init__(self, polygon_rows: list[dict], level: int = 12, max_cells: int = 256):
         self.keys = []
         self.polys = []
-        self.cell_map: dict[int, list[int]] = {}
+        # coverings adapt per polygon (big polygon → coarser cells), so the
+        # index is a map per level actually used: level → {cell → [poly idx]}
+        self.cell_maps: dict[int, dict[int, list[int]]] = {}
         for idx, row in enumerate(polygon_rows):
             rings = [
                 [np.asarray(ring, dtype=np.float64).reshape(-1, 2) for ring in poly]
@@ -61,41 +62,44 @@ class BroadcastPolygonIndex:
             self.polys.append(rings)
             cells = T.quad_covering_bbox(
                 pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max(),
-                level,
+                level, max_cells=max_cells,
             )
+            lvl = int(T.quad_level(cells[:1])[0])
+            cmap = self.cell_maps.setdefault(lvl, {})
             for c in cells.tolist():
-                self.cell_map.setdefault(c, []).append(idx)
+                cmap.setdefault(c, []).append(idx)
 
     def lookup(self, lon: np.ndarray, lat: np.ndarray):
         """For each point: matching polygon index (first match) or -1."""
-        cells = T.quad_cell(lon, lat, self.level)
         out = np.full(len(lon), -1, dtype=np.int64)
-        # group points by candidate list to vectorize the refine
-        order = np.argsort(cells, kind="stable")
-        sorted_cells = cells[order]
-        starts = np.flatnonzero(
-            np.r_[True, sorted_cells[1:] != sorted_cells[:-1]]
-        )
-        ends = np.r_[starts[1:], len(sorted_cells)]
-        for s, e in zip(starts, ends):
-            cands = self.cell_map.get(int(sorted_cells[s]))
-            if not cands:
-                continue
-            idxs = order[s:e]
-            plon, plat = lon[idxs], lat[idxs]
-            unresolved = np.ones(len(idxs), dtype=bool)
-            for ci in cands:
-                if not unresolved.any():
-                    break
-                m = points_in_polygons(
-                    np.stack([plon[unresolved], plat[unresolved]], axis=1),
-                    self.polys[ci],
-                )
-                hit_idx = idxs[unresolved][m]
-                out[hit_idx] = ci
-                keep = unresolved.copy()
-                keep[np.flatnonzero(unresolved)[m]] = False
-                unresolved = keep
+        for lvl, cmap in sorted(self.cell_maps.items()):
+            cells = T.quad_cell(lon, lat, lvl)
+            # group points by cell to vectorize the refine
+            order = np.argsort(cells, kind="stable")
+            sorted_cells = cells[order]
+            starts = np.flatnonzero(np.r_[True, sorted_cells[1:] != sorted_cells[:-1]])
+            ends = np.r_[starts[1:], len(sorted_cells)]
+            for s, e in zip(starts, ends):
+                cands = cmap.get(int(sorted_cells[s]))
+                if not cands:
+                    continue
+                idxs = order[s:e]
+                plon, plat = lon[idxs], lat[idxs]
+                unresolved = np.ones(len(idxs), dtype=bool)
+                for ci in sorted(cands):
+                    if not unresolved.any():
+                        break
+                    m = points_in_polygons(
+                        np.stack([plon[unresolved], plat[unresolved]], axis=1),
+                        self.polys[ci],
+                    )
+                    hit_idx = idxs[unresolved][m]
+                    # "first polygon in list order wins", also across levels
+                    prev = out[hit_idx]
+                    out[hit_idx] = np.where(prev < 0, ci, np.minimum(prev, ci))
+                    keep = unresolved.copy()
+                    keep[np.flatnonzero(unresolved)[m]] = False
+                    unresolved = keep
         return out
 
 
@@ -314,36 +318,79 @@ def knn_join(
     queries: list[tuple],
     k: int = 5,
     res: int = 7,
-    max_ring: int = 8,
     id_col: str = "id",
     lon_col: str = "lon",
     lat_col: str = "lat",
 ) -> DataFrame:
-    """H3-style k-ring kNN: for each (qid, qlon, qlat) query, the k nearest
-    points by haversine.
+    """H3-style k-ring kNN: for each (qid, qlon, qlat) query, the exact k
+    nearest points by planar degree distance (the engine's geometry is
+    planar-degree throughout, like the reference's euclidean geo math);
+    haversine meters reported alongside.
 
-    Candidate pull: per-query expanding hex rings (driver computes the cell
-    list — queries are the small side); a single equi-join on cell fetches
-    candidates; exact distance + window top-k finishes. Queries that don't
-    reach k candidates inside `max_ring` re-run against the full point set
-    (correctness backstop, logged by count).
+    Two-phase exact expansion (both phases are one equi-join each; the
+    query side is tiny and broadcast):
+      1. grow the ring count until every query sees ≥ k candidates;
+      2. from phase-1's kth-candidate distance d_k, compute the ring
+         radius R₂ that provably contains every point closer than d_k
+         (hex lattice lower bound: a point in a cell at hex distance d is
+         ≥ s·(1.5·d − 2) away for cell size s) and re-join once.
     """
     spark = points.sparkSession
     pts = point_tile(points, res, lon_col, lat_col, grid="hex")
-    pts = pts.select(id_col, lon_col, lat_col, "tile")
+    pts = pts.select(id_col, lon_col, lat_col, "tile").cache()
+    size = float(T.hex_size(res))
 
-    def query_cells(ring: int):
+    centers = {
+        qid: int(T.hex_cell(np.array([qlon]), np.array([qlat]), res)[0])
+        for qid, qlon, qlat in queries
+    }
+
+    def cells_df(rings: dict[int, int]):
         rows = []
         for qid, qlon, qlat in queries:
-            c0 = int(T.hex_cell(np.array([qlon]), np.array([qlat]), res)[0])
-            for c in T.hex_k_ring(c0, ring).tolist():
-                rows.append((qid, float(qlon), float(qlat), c))
+            for c in T.hex_k_ring(centers[qid], rings[qid]).tolist():
+                rows.append((qid, float(qlon), float(qlat), int(c)))
         return spark.createDataFrame(
             rows, "qid long, qlon double, qlat double, tile long"
         )
 
-    qcells = query_cells(max_ring)
-    cand = pts.join(F.broadcast(qcells), "tile").withColumn(
+    def candidates(rings):
+        return pts.join(F.broadcast(cells_df(rings)), "tile").withColumn(
+            "dist_deg",
+            F.sqrt(
+                F.pow(F.col(lon_col) - F.col("qlon"), 2)
+                + F.pow(F.col(lat_col) - F.col("qlat"), 2)
+            ),
+        )
+
+    # phase 1: double rings until every query has ≥ k candidates (or the
+    # ring covers the whole extent)
+    rings = {qid: 2 for qid, _, _ in queries}
+    for _ in range(12):
+        counts = {
+            r["qid"]: r["n"]
+            for r in candidates(rings).groupBy("qid").count().withColumnRenamed("count", "n").collect()
+        }
+        lacking = [qid for qid in rings if counts.get(qid, 0) < k]
+        if not lacking:
+            break
+        for qid in lacking:
+            rings[qid] *= 2
+
+    # phase 2: widen to the provably-sufficient radius from the kth distance
+    w = Window.partitionBy("qid").orderBy(F.col("dist_deg").asc(), F.col(id_col).asc())
+    kth = (
+        candidates(rings)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == k)
+        .select("qid", "dist_deg")
+        .collect()
+    )
+    for r in kth:
+        needed = int(np.ceil((r["dist_deg"] / size + 2.0) / 1.5)) + 1
+        rings[r["qid"]] = max(rings[r["qid"]], needed)
+
+    final = candidates(rings).withColumn(
         "dist_m",
         2.0
         * 6371008.8
@@ -356,10 +403,8 @@ def knn_join(
             )
         ),
     )
-    w = Window.partitionBy("qid").orderBy(F.col("dist_m").asc(), F.col(id_col).asc())
-    topk = (
-        cand.withColumn("rank", F.row_number().over(w))
+    return (
+        final.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("qid", F.col(id_col).alias("neighbor_id"), "dist_m", "rank")
+        .select("qid", F.col(id_col).alias("neighbor_id"), "dist_deg", "dist_m", "rank")
     )
-    return topk

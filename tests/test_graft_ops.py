@@ -1,0 +1,217 @@
+"""Graft operators: dedup family, ANN, text analysis, pages, multimodal
+plumbing, lineage/restart."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from osm_pbf2json_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    regex_token_count,
+    token_count,
+)
+from osm_pbf2json_spark.operators import ann, dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 1
+        (3, "The quick brown fox jumps over the lazy dog!", "en"),  # normalized dup
+        (4, "the quick brown fox leaps over the lazy dog", "en"),  # near dup
+        (5, "der schnelle braune fuchs springt über den faulen hund und das ist gut", "de"),
+        (6, "completely different content about spark distributed computing engines", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs).collect()
+    groups = {r["survivor_id"]: r["n_dups"] for r in out}
+    assert groups[1] == 3  # docs 1,2,3 normalize identically
+    assert groups[4] == 1 and groups[5] == 1 and groups[6] == 1
+
+
+def test_ngram_jaccard_pairs(docs):
+    out = dedup.ngram_jaccard_pairs(docs, threshold=0.3, n=3)
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in out.collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 3)] == 1.0
+    # one word differs: 3 of 7 shingles change → J = 4/10 exactly
+    assert pairs[(1, 4)] == pytest.approx(0.4)
+    assert (1, 6) not in pairs
+
+
+def test_minhash_lsh_pairs(docs):
+    out = dedup.minhash_lsh_pairs(docs, threshold=0.5, num_perm=64, bands=16)
+    pairs = {(r["a"], r["b"]) for r in out.collect()}
+    assert {(1, 2), (1, 3), (2, 3)} <= pairs
+    assert (1, 6) not in pairs
+
+
+def test_minhash_vs_exact_jaccard_estimate(docs):
+    """Signature agreement rate approximates true Jaccard."""
+    sigs = {r["id"]: r["sig"] for r in dedup.minhash_signatures(docs, 128).collect()}
+    agree = np.mean(np.array(sigs[1]) == np.array(sigs[4]))
+    # true 3-gram jaccard of docs 1 and 4:
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    t1 = "the quick brown fox jumps over the lazy dog"
+    t4 = "the quick brown fox leaps over the lazy dog"
+    true_j = len(sh(t1) & sh(t4)) / len(sh(t1) | sh(t4))
+    assert abs(agree - true_j) < 0.15
+
+
+def test_simhash_neardup(docs):
+    out = dedup.simhash_neardup_pairs(docs, max_hamming=8)
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in out.collect()}
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0
+    assert (1, 6) not in pairs
+
+
+def test_embedding_neardup(spark):
+    rng = np.random.Generator(np.random.PCG64(5))
+    base = rng.normal(size=8)
+    rows = [
+        (1, [float(x) for x in base]),
+        (2, [float(x) for x in base * 2.0]),  # same direction → cosine 1
+        (3, [float(x) for x in base + rng.normal(size=8) * 0.01]),
+        (4, [float(x) for x in rng.normal(size=8)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = dedup.embedding_neardup_pairs(df, threshold=0.99, n_planes=4)
+    pairs = {(r["a"], r["b"]) for r in out.collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert (1, 4) not in pairs
+
+
+def test_ann_bruteforce_topk(spark):
+    rng = np.random.Generator(np.random.PCG64(11))
+    vecs = rng.normal(size=(100, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    q = vecs[7] + rng.normal(size=8) * 0.01
+    out = ann.cosine_topk_bruteforce(df, [(0, list(map(float, q)))], k=3)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    cos = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    expect = list(np.argsort(-cos, kind="stable")[:3])
+    assert [r["neighbor_id"] for r in rows] == [int(i) for i in expect]
+    assert rows[0]["neighbor_id"] == 7
+
+
+def test_ann_lsh_recall_at_top1(spark):
+    rng = np.random.Generator(np.random.PCG64(13))
+    vecs = rng.normal(size=(300, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    hits = 0
+    queries = [(qi, list(map(float, vecs[qi] + rng.normal(size=16) * 0.05))) for qi in (3, 42, 99)]
+    out = ann.cosine_topk_lsh(df, queries, k=1, n_planes=6)
+    for r in out.collect():
+        hits += int(r["qid"] == r["neighbor_id"])
+    assert hits >= 2  # multi-probe LSH recall on easy self-queries
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat sat on the mat and it was good for the dog", "en"),
+            ("der hund ist gut und die katze ist nicht da", "de"),
+            ("le chat est dans la maison et les chiens sont dans le jardin", "fr"),
+        ],
+        "text string, expected string",
+    )
+    out = df.select(
+        "expected",
+        lang_id(F.col("text")).alias("lang"),
+        token_count(F.col("text")).alias("tc"),
+        regex_token_count(F.col("text")).alias("rtc"),
+        quality_score(F.col("text")).alias("q"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    for r in out:
+        assert r["lang"] == r["expected"], r
+        assert r["tc"] > 5 and r["rtc"] >= r["tc"]
+        assert 0.0 <= r["q"] <= 1.0
+        assert r["fp"] is not None
+
+
+def test_text_functions_are_jvm_only(spark):
+    df = spark.createDataFrame([("x y z",)], "text string")
+    plan = (
+        df.select(lang_id(F.col("text")), quality_score(F.col("text")))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pages_text_identity(spark):
+    from osm_pbf2json_spark.sources.fixtures import synth_pages
+    from osm_pbf2json_spark.sources.pages import verify_text_identity
+
+    pages = synth_pages(spark, 200)
+    assert verify_text_identity(pages) == 0  # byte-identical per url
+
+
+def test_page_geo_deterministic(spark, alexanderplatz):
+    from osm_pbf2json_spark.sources.fixtures import synth_pages
+    from osm_pbf2json_spark.sources.pages import attach_page_geo
+
+    pages = synth_pages(spark, 50)
+    g1 = {r["url"]: r["entity_id"] for r in attach_page_geo(pages, alexanderplatz.nodes).collect()}
+    g2 = {r["url"]: r["entity_id"] for r in attach_page_geo(pages, alexanderplatz.nodes).collect()}
+    assert g1 == g2 and len(g1) == 50
+
+
+def test_multimodal_plumbing(spark):
+    from osm_pbf2json_spark.operators.multimodal import (
+        decode_features,
+        frame_sample_plan,
+        synth_media,
+    )
+
+    media = synth_media(spark, 30)
+    feats = decode_features(media, fake=True).collect()
+    assert len(feats) == 30
+    assert all(len(r["features"]) == 16 for r in feats)
+    # deterministic across runs
+    feats2 = decode_features(media, fake=True).collect()
+    assert {r["media_id"]: r["features"] for r in feats} == {
+        r["media_id"]: r["features"] for r in feats2
+    }
+    plan = frame_sample_plan(media, every_ms=2000)
+    assert plan.count() > 0
+    with pytest.raises(Exception, match="NotImplementedError|media decoding"):
+        decode_features(media, fake=False).collect()
+
+
+def test_lineage_restart(spark, tmp_path):
+    from osm_pbf2json_spark.plans.lineage import LineageWriter, run_partitioned
+
+    df = spark.range(100).withColumn("part", (F.col("id") % 4).cast("int"))
+    out_dir = str(tmp_path / "out")
+    recs = run_partitioned(df, "part", out_dir, input_fingerprint="fp1")
+    assert len(recs) == 4 and all(r["rows"] == 25 for r in recs)
+    # restart: nothing left to do
+    recs2 = run_partitioned(df, "part", out_dir, input_fingerprint="fp1")
+    assert recs2 == []
+    # simulate a lost partition: drop one manifest line
+    w = LineageWriter(out_dir)
+    lines = open(w.manifest_path).read().strip().split("\n")
+    with open(w.manifest_path, "w") as f:
+        f.write("\n".join(lines[:-1]) + "\n")
+    recs3 = run_partitioned(df, "part", out_dir, input_fingerprint="fp1")
+    assert len(recs3) == 1
+    total = spark.read.parquet(out_dir + "/part=*").count()
+    assert total == 100

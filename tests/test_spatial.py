@@ -1,0 +1,124 @@
+"""Spatial operator tests: broadcast PIP join, cell PIP join, Catalyst
+bbox self-join, tile assignment, kNN."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from osm_pbf2json_spark.operators import spatial as S
+
+SQUARE_A = {"key": "A", "polygons": [[[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]]]}
+SQUARE_B = {"key": "B", "polygons": [[[(10.0, 10.0), (14.0, 10.0), (14.0, 14.0), (10.0, 14.0), (10.0, 10.0)]]]}
+
+
+def _points(spark):
+    rows = [
+        (1, 2.0, 2.0),  # in A
+        (2, 12.0, 12.0),  # in B
+        (3, 6.0, 6.0),  # in none
+        (4, 3.9, 0.1),  # in A corner
+    ]
+    return spark.createDataFrame(rows, "id long, lon double, lat double")
+
+
+def test_pip_join_broadcast(spark):
+    out = S.pip_join_broadcast(_points(spark), [SQUARE_A, SQUARE_B])
+    got = {r["id"]: r["polygon_key"] for r in out.collect()}
+    assert got == {1: "A", 2: "B", 3: None, 4: "A"}
+
+
+def test_pip_join_broadcast_no_shuffle(spark):
+    plan = (
+        S.pip_join_broadcast(_points(spark), [SQUARE_A])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # big side must not shuffle
+
+
+def test_pip_join_cells_matches_broadcast(spark):
+    polys = spark.createDataFrame(
+        [
+            ("A", [[[{"lon": x, "lat": y} for x, y in SQUARE_A["polygons"][0][0]]]]),
+            ("B", [[[{"lon": x, "lat": y} for x, y in SQUARE_B["polygons"][0][0]]]]),
+        ],
+        "key string, polygons array<array<array<struct<lon:double,lat:double>>>>",
+    )
+    out = S.pip_join_cells(_points(spark), polys, level=8)
+    got = {(r["id"], r["key"]) for r in out.collect()}
+    assert got == {(1, "A"), (2, "B"), (4, "A")}
+
+
+def test_bbox_self_join_matches_bruteforce(spark):
+    rng = np.random.Generator(np.random.PCG64(7))
+    n = 200
+    x0 = rng.uniform(0, 10, n)
+    y0 = rng.uniform(0, 10, n)
+    x1 = x0 + rng.uniform(0, 0.5, n)
+    y1 = y0 + rng.uniform(0, 0.5, n)
+    rows = [(i, float(x0[i]), float(y0[i]), float(x1[i]), float(y1[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, x0 double, y0 double, x1 double, y1 double")
+    pad = 0.002
+    got = {(r["a"], r["b"]) for r in S.bbox_self_join(df, pad=pad).collect()}
+    expect = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            if (
+                x0[i] - pad <= x1[j]
+                and x1[i] + pad >= x0[j]
+                and y0[i] - pad <= y1[j]
+                and y1[i] + pad >= y0[j]
+            ):
+                expect.add((i, j))
+    assert got == expect
+
+
+def test_bbox_self_join_is_pure_catalyst(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0, 1.0, 1.0)], "id long, x0 double, y0 double, x1 double, y1 double"
+    )
+    plan = S.bbox_self_join(df)._jdf.queryExecution().executedPlan().toString()
+    assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_assign_tiles_and_inverse(spark):
+    geoms = spark.createDataFrame(
+        [
+            (1, [{"lon": 13.40, "lat": 52.50}]),
+            (2, [{"lon": 13.40, "lat": 52.50}, {"lon": 13.41, "lat": 52.51}]),
+        ],
+        "id long, coords array<struct<lon:double,lat:double>>",
+    )
+    at = S.assign_tiles(geoms, res=9, grid="hex")
+    rows = at.collect()
+    tiles_1 = {r["tile"] for r in rows if r["id"] == 1}
+    tiles_2 = {r["tile"] for r in rows if r["id"] == 2}
+    assert len(tiles_1) == 1  # point → exactly one tile
+    assert tiles_1 <= tiles_2  # shared point ⇒ shared tile in the cover
+    inv = {r["tile"]: r["ids"] for r in S.tiles_to_geometries(at).collect()}
+    t = next(iter(tiles_1))
+    assert inv[t] == [1, 2]
+
+
+def test_knn_join_exact_topk(spark):
+    rng = np.random.Generator(np.random.PCG64(3))
+    n = 500
+    lon = rng.uniform(13.0, 13.5, n)
+    lat = rng.uniform(52.3, 52.6, n)
+    pts = spark.createDataFrame(
+        [(i, float(lon[i]), float(lat[i])) for i in range(n)],
+        "id long, lon double, lat double",
+    )
+    queries = [(100, 13.25, 52.45), (101, 13.01, 52.31)]
+    out = S.knn_join(pts, queries, k=5, res=9)
+    got = {
+        qid: [r["neighbor_id"] for r in sorted(rows, key=lambda r: r["rank"])]
+        for qid, rows in __import__("itertools").groupby(
+            sorted(out.collect(), key=lambda r: (r["qid"], r["rank"])),
+            key=lambda r: r["qid"],
+        )
+    }
+    for qid, qlon, qlat in queries:
+        d = np.hypot(lon - qlon, lat - qlat)  # planar degrees, engine metric
+        expect = list(np.argsort(d, kind="stable")[:5])
+        assert got[qid] == [int(i) for i in expect], qid
