@@ -1,38 +1,742 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship spatial-join + tile-assignment pipeline
+on sf0.001. `queries()` exposes one entry per implemented operator from
+SURVEY.md §2 plus the graft operators; `oracle_sql()` carries the DuckDB
+mirror for every SQL-expressible one.
+
+Geometry derivation used throughout (identical arithmetic on both
+engines, so doubles are bit-identical): each lineitem row becomes a point
+    lon = (l_partkey % 100) * 0.1,  lat = (l_suppkey % 100) * 0.1
+    point_id = l_orderkey * 10 + l_linenumber
+and each order becomes a bbox (see q_j6). Float aggregates are rounded
+to 6 decimals on BOTH sides so summation-order noise (~1e-12) can't flip
+the value-hash.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from osm_pbf2json_spark.functions.filter_dsl import compile_selector  # noqa: E402
+from osm_pbf2json_spark.functions.text import (  # noqa: E402
+    lang_id,
+    normalize,
+    quality_score,
+    regex_token_count,
+    token_count,
+    words,
+)
+from osm_pbf2json_spark.operators import ann, dedup, spatial  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# shared derivations
+
+# CAST: DuckDB reads bare 0.1 as DECIMAL; Spark uses DOUBLE — cast so both
+# engines run the identical IEEE-754 arithmetic
+_PT_LON = "(l_partkey % 100) * CAST(0.1 AS DOUBLE)"
+_PT_LAT = "(l_suppkey % 100) * CAST(0.1 AS DOUBLE)"
+
+POLY_A = [(0.55, 0.55), (4.45, 0.35), (4.35, 4.45), (0.35, 4.35)]  # convex CCW
+POLY_B = [(5.55, 5.45), (9.45, 5.65), (7.55, 9.45)]
+
+KNN_QUERIES = [(1, 2.05, 3.05), (2, 7.05, 8.05), (3, 0.05, 9.95)]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("point_id"),
+        ((F.col("l_partkey") % 100) * F.lit(0.1)).alias("lon"),
+        ((F.col("l_suppkey") % 100) * F.lit(0.1)).alias("lat"),
+    )
+
+
+_POINTS_SQL = f"""
+  SELECT l_orderkey * 10 + l_linenumber AS point_id,
+         {_PT_LON} AS lon, {_PT_LAT} AS lat
+  FROM lineitem
+"""
+
+
+def _convex_contains_sql(poly: list[tuple], x: str, y: str) -> str:
+    """Strict-interior test for a convex CCW polygon as AND of cross
+    products (the oracle counterpart of the engine's ray casting)."""
+    conds = []
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        conds.append(
+            f"(({x2} - {x1}) * ({y} - {y1}) - ({y2} - {y1}) * ({x} - {x1}) > 0)"
+        )
+    return "(" + " AND ".join(conds) + ")"
+
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), "
+    "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+
+
+def _norm_col(c):
+    # documents.text is lowercase-ascii by construction; the ascii-only
+    # character class keeps Java regex and RE2 semantics identical
+    t = F.lower(c)
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+# ---------------------------------------------------------------------------
+# queries
+
+
+def q_f1_filter_dsl(spark, sf_dir):
+    """F1-F4: tag-filter DSL compiled to a Catalyst predicate over a
+    tags-map built from part columns."""
+    part = _t(spark, sf_dir, "part")
+    tagged = part.select(
+        "p_partkey",
+        F.create_map(
+            F.lit("brand"), F.col("p_brand"),
+            F.lit("type"), F.col("p_type"),
+        ).alias("tags"),
+    )
+    sel = "brand~Brand#11+type,brand~Brand#22"
+    return tagged.filter(compile_selector(sel)).select("p_partkey")
+
+
+def q_f5_prefilter(spark, sf_dir):
+    """F5/F6 builders: isin-style OR-group prefilter."""
+    part = _t(spark, sf_dir, "part")
+    return part.filter(
+        F.col("p_type").isin("STANDARD", "LARGE", "PROMO") & (F.col("p_size") >= 25)
+    ).select("p_partkey", "p_brand")
+
+
+def q_j1_ordered_resolution(spark, sf_dir):
+    """J1: ordered ref resolution digest (posexplode→join→ordered
+    collect); csv digest avoids cross-engine array hashing."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("l_linenumber", "l_partkey"))),
+                lambda s: s.l_partkey.cast("string"),
+            ),
+            ",",
+        ).alias("refs_csv"),
+        F.count("*").alias("n_refs"),
+    )
+
+
+def q_s2_closure(spark, sf_dir):
+    """S2: two-hop semi-join dependency closure (orders→customer→nation)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    seeds = orders.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    c = cust.join(seeds, "c_custkey", "left_semi")
+    n = nation.join(
+        c.select(F.col("c_nationkey").alias("n_nationkey")), "n_nationkey", "left_semi"
+    )
+    return (
+        c.groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .select(F.col("n_name"), F.col("n_customers").cast("long").alias("n_customers"))
+    )
+
+
+def q_o2_pair_dedup(spark, sf_dir):
+    """O2: canonical pair dedup (least/greatest + distinct)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") > 45)
+        .select(
+            F.least("l_partkey", "l_suppkey").alias("a"),
+            F.greatest("l_partkey", "l_suppkey").alias("b"),
+        )
+        .distinct()
+    )
+
+
+def q_a3_xor_id(spark, sf_dir):
+    """A3: order-independent XOR-fold id (street id analog)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.expr("bit_xor(l_partkey)").alias("xor_id")
+    )
+
+
+def q_a6_bounds(spark, sf_dir):
+    """A6: bounds (e,n,s,w) per group over derived points."""
+    return (
+        _points(spark, sf_dir)
+        .withColumn("grp", (F.col("point_id") / 10).cast("long"))
+        .groupBy("grp")
+        .agg(
+            F.round(F.max("lon"), 6).alias("e"),
+            F.round(F.max("lat"), 6).alias("n"),
+            F.round(F.min("lat"), 6).alias("s"),
+            F.round(F.min("lon"), 6).alias("w"),
+        )
+    )
+
+
+def q_a4_bbox_diag_length(spark, sf_dir):
+    """A4: street-length quirk — euclidean bbox diagonal per group."""
+    return (
+        _points(spark, sf_dir)
+        .withColumn("grp", (F.col("point_id") / 10).cast("long"))
+        .groupBy("grp")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.pow(F.max("lon") - F.min("lon"), 2)
+                    + F.pow(F.max("lat") - F.min("lat"), 2)
+                ),
+                6,
+            ).alias("bbox_diag")
+        )
+    )
+
+
+def q_a7_line_centroid(spark, sf_dir):
+    """A7: length-weighted linestring centroid per order (the engine's
+    geometry kernel vs a pure-SQL window mirror)."""
+    import numpy as np
+    import pandas as pd
+
+    from osm_pbf2json_spark.functions.geometry import line_centroid
+
+    pts = _points(spark, sf_dir).withColumn("grp", (F.col("point_id") / 10).cast("long"))
+    eligible = (
+        pts.groupBy("grp")
+        .agg(F.count_distinct("lon", "lat").alias("ndp"))
+        .filter(F.col("ndp") >= 2)
+        .select("grp")
+    )
+    def cent(pdf: pd.DataFrame) -> pd.DataFrame:
+        # duplicate point_ids exist (duplicate line numbers in the synth
+        # data): sort by the full tuple so the order is a total order
+        pdf = pdf.sort_values(["point_id", "lon", "lat"])
+        xy = np.stack(
+            [pdf["lon"].to_numpy(np.float64), pdf["lat"].to_numpy(np.float64)], axis=1
+        )
+        c = line_centroid(xy)
+        return pd.DataFrame(
+            [{"grp": pdf["grp"].iloc[0], "cx": round(c[0], 6), "cy": round(c[1], 6)}]
+        )
+
+    return (
+        pts.join(eligible, "grp", "left_semi")
+        .groupBy("grp")
+        .applyInPandas(cent, "grp long, cx double, cy double")
+    )
+
+
+def q_j5_pip_join(spark, sf_dir):
+    """J5 flagship: broadcast point-in-polygon join."""
+    pts = _points(spark, sf_dir)
+    rows = [
+        {"key": "A", "polygons": [[POLY_A + POLY_A[:1]]]},
+        {"key": "B", "polygons": [[POLY_B + POLY_B[:1]]]},
+    ]
+    return spatial.pip_join_broadcast(pts, rows, out_col="polygon_key").select(
+        "point_id", "polygon_key"
+    )
+
+
+def q_j6_bbox_self_join(spark, sf_dir):
+    """J6: padded-bbox self-join (pure Catalyst cell bucketing)."""
+    orders = _t(spark, sf_dir, "orders")
+    boxes = orders.select(
+        F.col("o_orderkey").alias("id"),
+        ((F.col("o_orderkey") % 100) * F.lit(0.1)).alias("x0"),
+        ((F.col("o_custkey") % 100) * F.lit(0.1)).alias("y0"),
+        (
+            (F.col("o_orderkey") % 100) * F.lit(0.1)
+            + F.lit(0.03)
+            + (F.col("o_orderkey") % 7) * F.lit(0.01)
+        ).alias("x1"),
+        (
+            (F.col("o_custkey") % 100) * F.lit(0.1)
+            + F.lit(0.03)
+            + (F.col("o_custkey") % 5) * F.lit(0.01)
+        ).alias("y1"),
+    )
+    return spatial.bbox_self_join(boxes, pad=0.002)
+
+
+def q_tile_assign(spark, sf_dir):
+    """Raster↔vector: planar-grid tile id per point (SQL-mirrorable grid;
+    the hex/Hilbert variants are covered rows-only + in pytest)."""
+    pts = _points(spark, sf_dir)
+    s = 0.5
+    return pts.select(
+        "point_id",
+        (
+            F.floor((F.col("lon") + 180.0) / s)
+            + F.floor((F.col("lat") + 90.0) / s) * F.lit(720)
+        ).cast("long").alias("tile"),
+    )
+
+
+def q_tile_histogram(spark, sf_dir):
+    """Tile → contained-geometry rollup (the inverse direction)."""
+    return (
+        q_tile_assign(spark, sf_dir)
+        .groupBy("tile")
+        .agg(F.count("*").alias("n"), F.min("point_id").alias("min_id"))
+    )
+
+
+def q_knn(spark, sf_dir):
+    """kNN via k-ring expansion + window top-k (exact in planar degrees)."""
+    pts = _points(spark, sf_dir).withColumnRenamed("point_id", "id")
+    out = spatial.knn_join(pts, KNN_QUERIES, k=7, res=6)
+    return out.select("qid", "neighbor_id", "rank")
+
+
+def q_window_topk(spark, sf_dir):
+    """Window top-k per group (graft-side window op)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "rank")
+    )
+
+
+def q_agg_pricing(spark, sf_dir):
+    """TPC-H Q1-style scan/filter/group/agg (baseline engine shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_events_window(spark, sf_dir):
+    """Event-stream batch analytics: per-user session summary."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    last = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    agg = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value")
+    )
+    return agg.join(
+        last.select("user_id", F.col("event_type").alias("last_event_type")), "user_id"
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup groups over normalized text."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs).select("survivor_id", "n_dups")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard similarity pairs (exact, shared-shingle join)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.35, n=3).select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_text_stats(spark, sf_dir):
+    """Token counting + quality features (pure Column expressions)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        regex_token_count(F.col("text")).alias("n_rtokens"),
+        F.length(normalize(F.col("text"))).alias("n_norm_chars"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-vote language id."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k vs the corpus itself (query = vec 0)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = ann.cosine_topk_bruteforce(emb, [(0, [float(x) for x in qv])], k=10)
+    return out.select("neighbor_id", "rank")
+
+
+def q_emb_norms(spark, sf_dir):
+    """Vector math on array<float> via zip_with/aggregate (JVM-side)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda s, z: s + z)
+    return emb.select("vec_id", F.round(F.sqrt(dot), 6).alias("l2_norm"))
+
+
+# --- rows-only entries (non-SQL-expressible; stronger checks in pytest) -----
+
+
+def q_minhash_lsh(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, threshold=0.35, num_perm=64, bands=16).select(
+        "a", "b"
+    )
+
+
+def q_simhash_neardup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_neardup_pairs(docs, max_hamming=10).select("a", "b", "hamming")
+
+
+def q_hex_tiles(spark, sf_dir):
+    """Hex (aperture-7) tile assignment at res 9 — engine grid."""
+    pts = _points(spark, sf_dir)
+    return spatial.point_tile(pts, res=9, grid="hex").select("point_id", "tile")
+
+
+def q_quad_tiles(spark, sf_dir):
+    """Hilbert quad-cell assignment at level 12 — engine grid."""
+    pts = _points(spark, sf_dir)
+    return spatial.point_tile(pts, res=12, grid="quad").select("point_id", "tile")
+
+
+def q_ann_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = ann.cosine_topk_lsh(emb, [(0, [float(x) for x in qv])], k=5, n_planes=6)
+    return out.select("neighbor_id", "rank")
+
+
+def q_quality_score(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.round(quality_score(F.col("text")), 6).alias("q"))
+
+
+def q_embedding_neardup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs(emb, threshold=0.9, n_planes=6).select(
+        "a", "b"
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: spatial-join + tile-assignment pipeline at sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    pts = _points(spark, sf_dir)
+    rows = [
+        {"key": "A", "polygons": [[POLY_A + POLY_A[:1]]]},
+        {"key": "B", "polygons": [[POLY_B + POLY_B[:1]]]},
+    ]
+    joined = spatial.pip_join_broadcast(pts, rows, out_col="polygon_key")
+    tiled = spatial.point_tile(joined, res=9, grid="hex")
+    return tiled.groupBy("polygon_key", "tile").agg(
+        F.count("*").alias("n_points"), F.min("point_id").alias("min_point_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "f1_filter_dsl": q_f1_filter_dsl,
+        "f5_prefilter": q_f5_prefilter,
+        "j1_ordered_resolution": q_j1_ordered_resolution,
+        "s2_closure": q_s2_closure,
+        "o2_pair_dedup": q_o2_pair_dedup,
+        "a3_xor_id": q_a3_xor_id,
+        "a6_bounds": q_a6_bounds,
+        "a4_bbox_diag_length": q_a4_bbox_diag_length,
+        "a7_line_centroid": q_a7_line_centroid,
+        "j5_pip_join": q_j5_pip_join,
+        "j6_bbox_self_join": q_j6_bbox_self_join,
+        "tile_assign": q_tile_assign,
+        "tile_histogram": q_tile_histogram,
+        "knn": q_knn,
+        "window_topk": q_window_topk,
+        "agg_pricing": q_agg_pricing,
+        "events_window": q_events_window,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "emb_norms": q_emb_norms,
+        # rows-only (no SQL equivalent): minhash/simhash internals, engine
+        # grids (Hilbert/hex ids), LSH ANN, heuristic quality score
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_neardup": q_simhash_neardup,
+        "hex_tiles": q_hex_tiles,
+        "quad_tiles": q_quad_tiles,
+        "ann_lsh": q_ann_lsh,
+        "quality_score": q_quality_score,
+        "embedding_neardup": q_embedding_neardup,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _stopword_sql_case() -> str:
+    """Generate the lang-id argmax as SQL from the same profile table the
+    engine uses (ties broken by profile order, matching the Column fold)."""
+    from osm_pbf2json_spark.functions.text import _STOPWORDS
+
+    toks = (
+        "list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'),"
+        " x -> x <> ''))"
+    )
+    score = {
+        lang: (
+            "len(list_intersect("
+            + toks
+            + ", ["
+            + ",".join("'" + w.replace("'", "''") + "'" for w in ws)
+            + "]))"
+        )
+        for lang, ws in _STOPWORDS.items()
+    }
+    langs = list(score)
+    # mirror the engine's fold: later profiles win only with a strictly
+    # greater score
+    expr = "'und'"
+    best = "-1"
+    for lang in reversed(langs):
+        expr = f"CASE WHEN {score[lang]} > greatest({best}) THEN '{lang}' ELSE {expr} END"
+        best = best + ", " + score[lang]
+    return (
+        "SELECT doc_id, CASE WHEN greatest("
+        + ",".join(score[l] for l in langs)
+        + f") > 0 THEN ({expr}) ELSE 'und' END AS lang_pred FROM documents"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    in_a = _convex_contains_sql(POLY_A, "lon", "lat")
+    in_b = _convex_contains_sql(POLY_B, "lon", "lat")
+    knn_q = " UNION ALL ".join(
+        f"SELECT {qid} AS qid, {qlon} AS qlon, {qlat} AS qlat"
+        for qid, qlon, qlat in KNN_QUERIES
+    )
+    return {
+        "f1_filter_dsl": """
+            SELECT p_partkey FROM part
+            WHERE (p_brand = 'Brand#11' AND p_type IS NOT NULL)
+               OR p_brand = 'Brand#22'
+        """,
+        "f5_prefilter": """
+            SELECT p_partkey, p_brand FROM part
+            WHERE p_type IN ('STANDARD','LARGE','PROMO') AND p_size >= 25
+        """,
+        "j1_ordered_resolution": """
+            SELECT l_orderkey,
+                   string_agg(CAST(l_partkey AS VARCHAR), ','
+                              ORDER BY l_linenumber, l_partkey) AS refs_csv,
+                   count(*) AS n_refs
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "s2_closure": """
+            SELECT n.n_name AS n_name, CAST(count(*) AS BIGINT) AS n_customers
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE c.c_custkey IN (
+                SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+            GROUP BY n.n_name
+        """,
+        "o2_pair_dedup": """
+            SELECT DISTINCT least(l_partkey, l_suppkey) AS a,
+                            greatest(l_partkey, l_suppkey) AS b
+            FROM lineitem WHERE l_quantity > 45
+        """,
+        "a3_xor_id": """
+            SELECT l_orderkey, bit_xor(l_partkey) AS xor_id
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "a6_bounds": f"""
+            SELECT l_orderkey AS grp,
+                   round(max({_PT_LON}), 6) AS e, round(max({_PT_LAT}), 6) AS n,
+                   round(min({_PT_LAT}), 6) AS s, round(min({_PT_LON}), 6) AS w
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "a4_bbox_diag_length": f"""
+            SELECT l_orderkey AS grp,
+                   round(sqrt(pow(max({_PT_LON}) - min({_PT_LON}), 2)
+                            + pow(max({_PT_LAT}) - min({_PT_LAT}), 2)), 6) AS bbox_diag
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "a7_line_centroid": f"""
+            WITH pts AS ({_POINTS_SQL}),
+            -- NB: // (integer division), not CAST(x/10 AS BIGINT): DuckDB's
+            -- double→int cast rounds where Spark's truncates
+            g AS (SELECT point_id // 10 AS grp, point_id, lon, lat FROM pts),
+            elig AS (SELECT grp FROM (SELECT DISTINCT grp, lon, lat FROM g) t
+                     GROUP BY grp HAVING count(*) >= 2),
+            seg AS (
+              SELECT grp, lon AS x0, lat AS y0,
+                     lead(lon) OVER w AS x1, lead(lat) OVER w AS y1
+              FROM g WHERE grp IN (SELECT grp FROM elig)
+              WINDOW w AS (PARTITION BY grp ORDER BY point_id, lon, lat)
+            ),
+            segl AS (
+              SELECT grp, sqrt(pow(x1 - x0, 2) + pow(y1 - y0, 2)) AS len,
+                     (x0 + x1) / 2 AS mx, (y0 + y1) / 2 AS my
+              FROM seg WHERE x1 IS NOT NULL
+            )
+            SELECT grp, round(sum(mx * len) / sum(len), 6) AS cx,
+                        round(sum(my * len) / sum(len), 6) AS cy
+            FROM segl GROUP BY grp HAVING sum(len) > 0
+        """,
+        "j5_pip_join": f"""
+            WITH pts AS ({_POINTS_SQL})
+            SELECT point_id,
+                   CASE WHEN {in_a} THEN 'A'
+                        WHEN {in_b} THEN 'B'
+                        ELSE NULL END AS polygon_key
+            FROM pts
+        """,
+        "j6_bbox_self_join": """
+            WITH boxes AS (
+              SELECT o_orderkey AS id,
+                     (o_orderkey % 100) * 0.1 AS x0,
+                     (o_custkey % 100) * 0.1 AS y0,
+                     (o_orderkey % 100) * 0.1 + 0.03 + (o_orderkey % 7) * 0.01 AS x1,
+                     (o_custkey % 100) * 0.1 + 0.03 + (o_custkey % 5) * 0.01 AS y1
+              FROM orders)
+            SELECT l.id AS a, r.id AS b
+            FROM boxes l JOIN boxes r ON l.id < r.id
+             AND l.x0 - 0.002 <= r.x1 AND l.x1 + 0.002 >= r.x0
+             AND l.y0 - 0.002 <= r.y1 AND l.y1 + 0.002 >= r.y0
+        """,
+        "tile_assign": f"""
+            WITH pts AS ({_POINTS_SQL})
+            SELECT point_id,
+                   CAST(floor((lon + 180.0) / 0.5)
+                        + floor((lat + 90.0) / 0.5) * 720 AS BIGINT) AS tile
+            FROM pts
+        """,
+        "tile_histogram": f"""
+            WITH pts AS ({_POINTS_SQL}),
+            t AS (SELECT point_id,
+                         CAST(floor((lon + 180.0) / 0.5)
+                              + floor((lat + 90.0) / 0.5) * 720 AS BIGINT) AS tile
+                  FROM pts)
+            SELECT tile, count(*) AS n, min(point_id) AS min_id FROM t GROUP BY tile
+        """,
+        "knn": f"""
+            WITH pts AS ({_POINTS_SQL}), q AS ({knn_q}),
+            d AS (SELECT q.qid, pts.point_id AS neighbor_id,
+                         sqrt(pow(pts.lon - q.qlon, 2) + pow(pts.lat - q.qlat, 2)) AS dist
+                  FROM pts CROSS JOIN q)
+            SELECT qid, neighbor_id,
+                   row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rank
+            FROM d QUALIFY rank <= 7
+        """,
+        "window_topk": """
+            SELECT o_custkey, o_orderkey,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rank
+            FROM orders QUALIFY rank <= 3
+        """,
+        "agg_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "events_window": """
+            WITH agg AS (
+              SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS sum_value
+              FROM events GROUP BY user_id),
+            last AS (
+              SELECT user_id, event_type AS last_event_type
+              FROM events
+              QUALIFY row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC, event_id DESC) = 1)
+            SELECT a.user_id, a.n_events, a.sum_value, l.last_event_type
+            FROM agg a JOIN last l ON a.user_id = l.user_id
+        """,
+        "dedup_exact": f"""
+            SELECT min(doc_id) AS survivor_id, count(*) AS n_dups
+            FROM documents GROUP BY {_NORM_SQL}
+        """,
+        "ngram_jaccard": f"""
+            WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+            w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(ws[i:i+2], ' ') AS s
+              FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS u(i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS ni
+              FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
+              GROUP BY l.doc_id, r.doc_id)
+            SELECT a, b,
+                   round(CAST(ni AS DOUBLE) / (sa.sz + sb.sz - ni), 6) AS jaccard
+            FROM inter JOIN sizes sa ON inter.a = sa.doc_id
+                       JOIN sizes sb ON inter.b = sb.doc_id
+            WHERE CAST(ni AS DOUBLE) / (sa.sz + sb.sz - ni) >= 0.35
+        """,
+        "text_stats": """
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x <> '')) AS n_tokens,
+                   len(regexp_extract_all(text,
+                       '[A-Za-zÀ-ÿ]+|[0-9]+|[^\\sA-Za-zÀ-ÿ0-9]')) AS n_rtokens,
+                   length(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS n_norm_chars
+            FROM documents
+        """,
+        "lang_id": _stopword_sql_case(),
+        "ann_cosine_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            s AS (
+              SELECT e.vec_id AS neighbor_id,
+                     list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.qv AS DOUBLE[]))
+                     / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_inner_product(CAST(q.qv AS DOUBLE[]),
+                                                CAST(q.qv AS DOUBLE[])))) AS cosine
+              FROM embeddings e CROSS JOIN q)
+            SELECT neighbor_id,
+                   row_number() OVER (ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM s QUALIFY rank <= 10
+        """,
+        "emb_norms": """
+            SELECT vec_id,
+                   round(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                                 CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
+            FROM embeddings
+        """,
+    }
