@@ -122,21 +122,21 @@ def minhash_signatures(
     positional mins via posexplode + groupBy(id, pos)."""
     a, b = _perm_coeffs(num_perm, seed)
     sh = _shingle_table(df, text_col, id_col, n)
-    # (a·x + b) mod p over x reduced into [0, p)
-    x = F.abs(F.col("h")) % F.lit(_MERSENNE_P)
-    perms = F.array(
-        *[
-            ((F.lit(int(ai)) * x + F.lit(int(bi))) % F.lit(_MERSENNE_P)).alias(f"p{i}")
-            for i, (ai, bi) in enumerate(zip(a, b))
-        ]
-    )
-    pos = sh.select("id", F.posexplode(perms).alias("pos", "v"))
-    mins = pos.groupBy("id", "pos").agg(F.min("v").alias("mv"))
-    return mins.groupBy("id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "mv"))), lambda s: s.mv
-        ).alias("sig")
-    )
+    # one shuffle of (id, h); the num_perm× blowup happens inside a
+    # vectorized Arrow kernel instead of through the exchange
+    grouped = sh.groupBy("id").agg(F.collect_list("h").alias("hs"))
+
+    def sig(hs: pd.Series) -> pd.Series:
+        out = []
+        for arr in hs:
+            x = np.abs(np.asarray(arr, dtype=np.int64)) % _MERSENNE_P
+            # (a·x + b) mod p; a,x < 2^31 keeps products within int64
+            m = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE_P
+            out.append(m.min(axis=1).tolist())
+        return pd.Series(out)
+
+    sig_udf = F.pandas_udf(sig, "array<long>")
+    return grouped.select("id", sig_udf("hs").alias("sig"))
 
 
 def minhash_lsh_pairs(

@@ -70,36 +70,35 @@ class BroadcastPolygonIndex:
                 cmap.setdefault(c, []).append(idx)
 
     def lookup(self, lon: np.ndarray, lat: np.ndarray):
-        """For each point: matching polygon index (first match) or -1."""
+        """For each point: matching polygon index (first in list order) or
+        -1. Vectorized per CANDIDATE POLYGON, not per cell: one np.unique
+        over the batch's cells, then one masked PIP refine per polygon
+        present — O(#polys-present) numpy calls per batch instead of
+        O(#cells-present) Python iterations."""
         out = np.full(len(lon), -1, dtype=np.int64)
+        # one unique() per level, then per-polygon masks in global polygon
+        # order so "first polygon in list order wins" holds across levels
+        per_poly: dict[int, list] = {}
         for lvl, cmap in sorted(self.cell_maps.items()):
             cells = T.quad_cell(lon, lat, lvl)
-            # group points by cell to vectorize the refine
-            order = np.argsort(cells, kind="stable")
-            sorted_cells = cells[order]
-            starts = np.flatnonzero(np.r_[True, sorted_cells[1:] != sorted_cells[:-1]])
-            ends = np.r_[starts[1:], len(sorted_cells)]
-            for s, e in zip(starts, ends):
-                cands = cmap.get(int(sorted_cells[s]))
-                if not cands:
-                    continue
-                idxs = order[s:e]
-                plon, plat = lon[idxs], lat[idxs]
-                unresolved = np.ones(len(idxs), dtype=bool)
-                for ci in sorted(cands):
-                    if not unresolved.any():
-                        break
-                    m = points_in_polygons(
-                        np.stack([plon[unresolved], plat[unresolved]], axis=1),
-                        self.polys[ci],
-                    )
-                    hit_idx = idxs[unresolved][m]
-                    # "first polygon in list order wins", also across levels
-                    prev = out[hit_idx]
-                    out[hit_idx] = np.where(prev < 0, ci, np.minimum(prev, ci))
-                    keep = unresolved.copy()
-                    keep[np.flatnonzero(unresolved)[m]] = False
-                    unresolved = keep
+            uniq, inv = np.unique(cells, return_inverse=True)
+            poly_uidx: dict[int, list[int]] = {}
+            for ui, c in enumerate(uniq.tolist()):
+                for ci in cmap.get(c, ()):
+                    poly_uidx.setdefault(ci, []).append(ui)
+            for ci, uidxs in poly_uidx.items():
+                umask = np.zeros(len(uniq), dtype=bool)
+                umask[uidxs] = True
+                per_poly.setdefault(ci, []).append(umask[inv])
+        for ci in sorted(per_poly):
+            cand = np.logical_or.reduce(per_poly[ci]) & (out < 0)
+            if not cand.any():
+                continue
+            idxs = np.flatnonzero(cand)
+            m = points_in_polygons(
+                np.stack([lon[idxs], lat[idxs]], axis=1), self.polys[ci]
+            )
+            out[idxs[m]] = ci
         return out
 
 
@@ -128,6 +127,58 @@ def pip_join_broadcast(
             yield pdf
 
     return points.mapInPandas(kernel, out_schema)
+
+
+def pip_tile_rollup(
+    points: DataFrame,
+    polygon_rows: list[dict],
+    res: int = 9,
+    grid: str = "hex",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    level: int = 12,
+) -> DataFrame:
+    """Fused flagship pipeline: PIP + tile encode + per-partition partial
+    counts in ONE Arrow kernel, then a tiny final agg.
+
+    Shipping only (polygon_key, tile, partial_n) per partition instead of
+    one annotated row per point removes the py→JVM transfer of the whole
+    point set and gives the Python stage true map-side combine — the
+    shuffle is O(polygons × tiles), independent of input rows.
+    """
+    index = BroadcastPolygonIndex(polygon_rows, level=level)
+    keys = list(index.keys)
+
+    def kernel(iterator):
+        import pandas as pd
+
+        acc: dict = {}
+        for pdf in iterator:
+            lon = pdf[lon_col].to_numpy(np.float64)
+            lat = pdf[lat_col].to_numpy(np.float64)
+            hit = index.lookup(lon, lat)
+            if grid == "hex":
+                tile = T.hex_cell(lon, lat, res)
+            else:
+                tile = T.quad_cell(lon, lat, res)
+            comb = pd.DataFrame({"h": hit, "t": tile}).groupby(["h", "t"]).size()
+            for (h, t), n in comb.items():
+                k = (int(h), int(t))
+                acc[k] = acc.get(k, 0) + int(n)
+        yield pd.DataFrame(
+            [
+                {
+                    "polygon_key": None if h < 0 else str(keys[h]),
+                    "tile": t,
+                    "pn": n,
+                }
+                for (h, t), n in acc.items()
+            ],
+            columns=["polygon_key", "tile", "pn"],
+        )
+
+    partial = points.mapInPandas(kernel, "polygon_key string, tile long, pn long")
+    return partial.groupBy("polygon_key", "tile").agg(F.sum("pn").alias("n_points"))
 
 
 # --- large×large: covering-cell equi-join ------------------------------------

@@ -36,7 +36,13 @@ def get_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # Spark 4.1's sized-batch writer calls ArrowWriter.sizeInBytes per
+        # appended ROW unless maxBytesPerBatch == Int.MaxValue exactly
+        # (BatchedPythonArrowInput.underBatchSizeLimit). The per-row size
+        # walk made every mapInPandas/mapInArrow stage ~8x slower and
+        # allocator-bound; IntMax restores the fast whole-batch path.
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", "2147483647")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

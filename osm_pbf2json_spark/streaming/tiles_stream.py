@@ -1,0 +1,51 @@
+"""Structured Streaming surface (graft-side; the reference is batch-only,
+SURVEY.md §2.7 — whole crate is a one-shot file pipeline, main.rs:42-84).
+
+The engine's streaming use case is incremental ingestion of page/point
+events into the same tile space the batch engine queries:
+
+- `streaming_tile_counts`: watermarked sliding-window counts per tile —
+  late data beyond the watermark is dropped, windows close incrementally.
+- `streaming_pip_flags`: per-microbatch broadcast PIP annotation — the
+  stateless mapInPandas kernel works unchanged on streaming frames.
+
+Both operate on any streaming DataFrame with (ts timestamp, lon, lat).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from ..functions import tiles as T
+
+
+def with_tile(stream_df: DataFrame, res: int = 9) -> DataFrame:
+    tile_udf = F.pandas_udf(
+        lambda lon, lat: pd.Series(T.hex_cell(lon.to_numpy(), lat.to_numpy(), res)),
+        "long",
+    )
+    return stream_df.withColumn("tile", tile_udf("lon", "lat"))
+
+
+def streaming_tile_counts(
+    stream_df: DataFrame,
+    res: int = 9,
+    window: str = "1 minute",
+    slide: str | None = None,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Windowed per-tile event counts with late-data handling."""
+    tiled = with_tile(stream_df, res).withWatermark("ts", watermark)
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return tiled.groupBy(win.alias("w"), "tile").agg(
+        F.count("*").alias("n_events")
+    ).select(F.col("w.start").alias("window_start"), "tile", "n_events")
+
+
+def streaming_pip_flags(stream_df: DataFrame, polygon_rows: list[dict]) -> DataFrame:
+    """Stateless streaming PIP annotation via the batch broadcast kernel."""
+    from ..operators.spatial import pip_join_broadcast
+
+    return pip_join_broadcast(stream_df, polygon_rows, out_col="polygon_key")

@@ -1,0 +1,65 @@
+"""Structured Streaming surface: file-source → windowed tile counts →
+memory sink, deterministic via availableNow trigger."""
+
+import os
+
+import pyspark.sql.functions as F
+
+from osm_pbf2json_spark.streaming.tiles_stream import (
+    streaming_pip_flags,
+    streaming_tile_counts,
+)
+
+
+def test_streaming_tile_counts(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batch = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:10", 13.40, 52.50),
+            ("2024-01-01 00:00:20", 13.40, 52.50),
+            ("2024-01-01 00:01:30", 13.40, 52.50),
+            ("2024-01-01 00:00:40", -73.9, 40.7),
+        ],
+        "ts_s string, lon double, lat double",
+    ).select(F.to_timestamp("ts_s").alias("ts"), "lon", "lat")
+    batch.write.parquet(src, mode="overwrite")
+
+    stream = spark.readStream.schema("ts timestamp, lon double, lat double").parquet(src)
+    counts = streaming_tile_counts(stream, res=9, window="1 minute")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("tile_counts")
+        .outputMode("append" if False else "complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from tile_counts").collect()
+    # berlin tile: 2 events in minute 0, 1 in minute 1; nyc tile: 1 event
+    by_key = {(r["window_start"].minute, r["tile"]): r["n_events"] for r in rows}
+    tiles = {r["tile"] for r in rows}
+    assert len(tiles) == 2
+    counts_sorted = sorted(by_key.values())
+    assert counts_sorted == [1, 1, 2]
+
+
+def test_streaming_pip_flags(spark, tmp_path):
+    src = str(tmp_path / "pipsrc")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, 2.0, 2.0), (2, 50.0, 50.0)], "id long, lon double, lat double"
+    ).write.parquet(src, mode="overwrite")
+    stream = spark.readStream.schema("id long, lon double, lat double").parquet(src)
+    square = {"key": "A", "polygons": [[[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]]]}
+    flagged = streaming_pip_flags(stream, [square])
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("pip_flags")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["id"]: r["polygon_key"] for r in spark.sql("select * from pip_flags").collect()}
+    assert got == {1: "A", 2: None}
