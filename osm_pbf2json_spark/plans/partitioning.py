@@ -1,0 +1,84 @@
+"""Explicit partitioning & skew control (north rule: "partitioning /
+shuffle / skew handled explicitly").
+
+- `repartition_by_tile_prefix`: co-locate rows by coarse spatial parent
+  cell before heavy spatial stages, so downstream per-tile work is
+  shuffle-free and output files are spatially clustered.
+- `salted_join`: salted hash equi-join for skewed keys (hot node refs
+  from mega-junctions, hot H3 cells over city centers). The small/dim
+  side is replicated `salt` times; the large side draws a deterministic
+  pseudo-random salt per row — the hot key's rows spread over `salt`
+  reducers. AQE skew-join (on by default in session.py) handles runtime
+  skew; explicit salting is for keys known-hot a priori, where AQE's
+  post-hoc splitting still funnels the map side.
+- `hot_keys`: sample-based hot-key detection to drive hybrid plans
+  (salt only the hot keys, plain join for the rest).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from ..functions import tiles as T
+
+
+def repartition_by_tile_prefix(
+    df: DataFrame,
+    n_partitions: int,
+    res: int = 9,
+    parent_res: int = 4,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    grid: str = "quad",
+) -> DataFrame:
+    """Partition by the parent cell of each row's tile: rows in the same
+    coarse region land in the same partition (and the same output file)."""
+    if grid == "quad":
+        udf = F.pandas_udf(
+            lambda lon, lat: pd.Series(
+                T.quad_parent(T.quad_cell(lon.to_numpy(), lat.to_numpy(), res), parent_res)
+            ),
+            "long",
+        )
+    else:
+        udf = F.pandas_udf(
+            lambda lon, lat: pd.Series(T.hex_cell(lon.to_numpy(), lat.to_numpy(), parent_res)),
+            "long",
+        )
+    return df.withColumn("_prefix", udf(F.col(lon_col), F.col(lat_col))).repartition(
+        n_partitions, "_prefix"
+    )
+
+
+def hot_keys(df: DataFrame, key: str, threshold_frac: float = 0.01, sample: float = 0.05):
+    """Keys covering more than `threshold_frac` of a sample — candidates
+    for explicit salting."""
+    total = df.count()
+    if total == 0:
+        return []
+    s = df.sample(fraction=min(1.0, sample), seed=42)
+    counts = s.groupBy(key).count()
+    cutoff = max(1, int(total * sample * threshold_frac))
+    return [r[0] for r in counts.filter(F.col("count") >= cutoff).collect()]
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: `small` replicated `salt` times (explode
+    of a literal range — JVM-side), `large` salted deterministically by
+    hashing a second column-independent term, join on (key, salt)."""
+    small_rep = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    large_salted = large.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)).cast("int")
+    )
+    out = large_salted.join(small_rep, [key, "_salt"], how)
+    return out.drop("_salt")

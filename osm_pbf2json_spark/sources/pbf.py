@@ -14,8 +14,11 @@ with the engine's canonical schemas:
 
 Coordinates reproduce osmpbfreader's fixed-point semantics bit-exactly:
 ``decimicro = (offset + granularity * raw) / 100`` (nanodegrees / 100,
-integer division), then ``degrees = decimicro / 1e7`` as float64 — matching
-``Node::lon()/lat()`` used at `/root/reference/src/lib/mod.rs:43`.
+integer division), then ``degrees = decimicro * 1e-7`` as float64 —
+NOTE: a MULTIPLY by the inexact 1e-7, not a divide by 1e7; the two differ
+in the last bit and the reference's printed goldens (Readme.md:61-62)
+show the multiply — matching ``Node::lon()/lat()`` used at
+`/root/reference/src/lib/mod.rs:43`.
 
 Wire format (public spec, https://wiki.openstreetmap.org/wiki/PBF_Format):
 repeated [int32-BE len][BlobHeader][Blob]; Blob payloads are raw or
@@ -138,7 +141,7 @@ def _decode_dense(group_buf: bytes, strings: list[str], block: dict, out: PbfDat
         # osmpbfreader stores decimicro (1e-7 deg) as i32: nanodegrees / 100
         dmlat = (lat_off + gran * cur_lat) // 100
         dmlon = (lon_off + gran * cur_lon) // 100
-        out.nodes.append((cur_id, dmlat / 1e7, dmlon / 1e7, tags))
+        out.nodes.append((cur_id, dmlat * 1e-7, dmlon * 1e-7, tags))
 
 
 def _decode_way(way_buf: bytes, strings: list[str], out: PbfData):
