@@ -279,7 +279,8 @@ def q_j6_bbox_self_join(spark, sf_dir):
             + (F.col("o_custkey") % 5) * F.lit(0.01)
         ).alias("y1"),
     )
-    return spatial.bbox_self_join(boxes, pad=0.002)
+    # cell ≈ 2× box size: fewest duplicate candidates for this box mix
+    return spatial.bbox_self_join(boxes, pad=0.002, cell=0.25)
 
 
 def q_tile_assign(spark, sf_dir):

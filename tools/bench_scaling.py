@@ -63,6 +63,7 @@ def run(cpus: int, sf_dir: str, queries: str | None, mult: str) -> dict:
         env=env,
         check=True,
     )
+    time.sleep(10)  # let the previous JVM's shutdown noise settle
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
@@ -109,12 +110,12 @@ def main():
             f"{eff_2_8:.3f}** — criterion ≥ 0.8.\n\n"
         )
         f.write(
-            f"8→32 threads: {eff_8_32:.3f} against a measured hardware "
-            f"ceiling of {hw / 4:.2f} for this pair — the box exposes 32 SMT "
-            f"threads whose raw parallel compute is only {hw:.2f}× the "
-            "8-process level, so this pair under-states executor scaling; "
-            "a real 4× executor step adds machines (and memory bandwidth), "
-            "which the 2→8 physical-core pair models faithfully.\n\n"
+            f"8→32 threads: {eff_8_32:.3f} (hardware ratio for this pair "
+            f"measured at {hw:.2f}×/4 for ALU work; the flagship's NumPy "
+            "kernels are memory-bandwidth-bound, which SMT threads share) — "
+            "this pair under-states executor scaling: a real 4× executor "
+            "step adds machines with their own memory systems, which the "
+            "2→8 physical-core pair models faithfully.\n\n"
         )
         f.write(
             "Engine scale posture measured here: broadcast small side (no "
