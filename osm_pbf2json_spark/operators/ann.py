@@ -70,6 +70,85 @@ def _plane_buckets(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
     return rng.normal(size=(n_planes, dim))
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    sample_rows: int = 2048,
+    iters: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Driver-side spherical k-means on a deterministic sample (the IVF
+    coarse quantizer). The sample is tiny and bounded; at 10¹² rows this
+    is the standard train-small/apply-everywhere pattern."""
+    sample = np.array(
+        [r[0] for r in df.select(vec_col).limit(sample_rows).collect()],
+        dtype=np.float64,
+    )
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True) + 1e-12
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
+    for _ in range(iters):
+        sims = sample @ cents.T
+        assign = sims.argmax(axis=1)
+        for ci in range(len(cents)):
+            members = sample[assign == ci]
+            if len(members):
+                v = members.sum(axis=0)
+                cents[ci] = v / (np.linalg.norm(v) + 1e-12)
+    return cents
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    queries: list[tuple],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF scale path: corpus partitioned into centroid cells once; each
+    query scans only its `n_probe` nearest cells with exact cosine
+    re-ranking. Cell assignment is one Arrow kernel pass; the probe join
+    is a broadcast equi-join on cell id — the corpus never shuffles."""
+    cents = train_ivf_centroids(df, n_centroids, vec_col=vec_col, seed=seed)
+
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        m = m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-12)
+        return pd.Series((m @ cents.T).argmax(axis=1).astype(np.int64))
+
+    assign_udf = F.pandas_udf(assign, "long")
+    corpus = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("cell", assign_udf("v"))
+
+    spark = df.sparkSession
+    qrows = []
+    for qid, q in queries:
+        qv = np.asarray(q, dtype=np.float64)
+        qn = qv / (np.linalg.norm(qv) + 1e-12)
+        probes = np.argsort(-(qn @ cents.T))[:n_probe]
+        for c in probes:
+            qrows.append((int(qid), [float(x) for x in qv], int(c)))
+    qdf = spark.createDataFrame(qrows, "qid long, qv array<double>, cell long")
+
+    norm = lambda x: F.sqrt(_dot(x, x))  # noqa: E731
+    scored = (
+        corpus.join(F.broadcast(qdf), "cell")
+        .withColumn("cosine", _dot(F.col("v"), F.col("qv")) / (norm("v") * norm("qv")))
+        .select("qid", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "neighbor_id", "cosine", "rank")
+    )
+
+
 def cosine_topk_lsh(
     df: DataFrame,
     queries: list[tuple],

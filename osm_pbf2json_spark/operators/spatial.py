@@ -378,13 +378,15 @@ def knn_join(
     planar-degree throughout, like the reference's euclidean geo math);
     haversine meters reported alongside.
 
-    Two-phase exact expansion (both phases are one equi-join each; the
-    query side is tiny and broadcast):
-      1. grow the ring count until every query sees ≥ k candidates;
-      2. from phase-1's kth-candidate distance d_k, compute the ring
-         radius R₂ that provably contains every point closer than d_k
-         (hex lattice lower bound: a point in a cell at hex distance d is
-         ≥ s·(1.5·d − 2) away for cell size s) and re-join once.
+    Two-phase exact search (query side tiny and broadcast throughout):
+      1. hex k-ring expansion (doubling, capped, growth-stall detection)
+         until every query sees ≥ k candidates — one cell equi-join per
+         round;
+      2. exactness net: any point beating phase-1's kth distance d_k lies
+         in the planar bbox of half-width d_k (+cell slack) around the
+         query — a pure-Catalyst broadcast predicate. Queries whose
+         neighborhood population is < k (growth stalled / ring capped)
+         fall back to scoring the full point set.
     """
     spark = points.sparkSession
     pts = point_tile(points, res, lon_col, lat_col, grid="hex")
@@ -414,45 +416,97 @@ def knn_join(
             ),
         )
 
-    # phase 1: double rings until every query has ≥ k candidates (or the
-    # ring covers the whole extent)
+    # phase 1: double rings until every query has ≥ k candidates, the ring
+    # hits the cap, or growth stalls (query region exhausted)
+    max_ring = 64
     rings = {qid: 2 for qid, _, _ in queries}
-    for _ in range(12):
+    prev_counts: dict = {}
+    full_scan_qids: set = set()
+    for _ in range(8):
         counts = {
             r["qid"]: r["n"]
-            for r in candidates(rings).groupBy("qid").count().withColumnRenamed("count", "n").collect()
+            for r in candidates(rings)
+            .groupBy("qid")
+            .count()
+            .withColumnRenamed("count", "n")
+            .collect()
         }
         lacking = [qid for qid in rings if counts.get(qid, 0) < k]
         if not lacking:
             break
-        for qid in lacking:
-            rings[qid] *= 2
+        stalled = [
+            qid
+            for qid in lacking
+            if counts.get(qid, 0) == prev_counts.get(qid, -1) or rings[qid] >= max_ring
+        ]
+        full_scan_qids.update(
+            qid for qid in stalled if rings[qid] >= max_ring or counts.get(qid, 0) == prev_counts.get(qid, -1)
+        )
+        still = [q for q in lacking if q not in full_scan_qids]
+        if not still:
+            break
+        for qid in still:
+            rings[qid] = min(rings[qid] * 2, max_ring)
+        prev_counts = counts
 
-    # phase 2: widen to the provably-sufficient radius from the kth distance
+    # phase 2: exactness net. For queries with a kth candidate, any point
+    # beating it lies within a planar bbox of half-width d_k around the
+    # query (plus cell slack) — a pure-Catalyst predicate, no cell blowup.
+    # Queries flagged for full scan (k > nearby population) get the whole
+    # point set as candidates.
     w = Window.partitionBy("qid").orderBy(F.col("dist_deg").asc(), F.col(id_col).asc())
-    kth = (
-        candidates(rings)
+    kth = {
+        r["qid"]: r["dist_deg"]
+        for r in candidates(rings)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") == k)
         .select("qid", "dist_deg")
         .collect()
-    )
-    for r in kth:
-        needed = int(np.ceil((r["dist_deg"] / size + 2.0) / 1.5)) + 1
-        rings[r["qid"]] = max(rings[r["qid"]], needed)
+    }
+    full_scan_qids.update(qid for qid, _, _ in queries if qid not in kth)
 
-    final = candidates(rings).withColumn(
-        "dist_m",
-        2.0
-        * 6371008.8
-        * F.asin(
-            F.sqrt(
-                F.pow(F.sin(F.radians(F.col(lat_col) - F.col("qlat")) / 2), 2)
-                + F.cos(F.radians("qlat"))
-                * F.cos(F.radians(lat_col))
-                * F.pow(F.sin(F.radians(F.col(lon_col) - F.col("qlon")) / 2), 2)
+    qmeta = spark.createDataFrame(
+        [
+            (
+                int(qid),
+                float(qlon),
+                float(qlat),
+                float(kth.get(qid, 0.0) + 2.0 * size),
+                qid in full_scan_qids,
             )
-        ),
+            for qid, qlon, qlat in queries
+        ],
+        "qid long, qlon double, qlat double, radius double, full boolean",
+    )
+    final = (
+        pts.crossJoin(F.broadcast(qmeta))
+        .filter(
+            F.col("full")
+            | (
+                (F.abs(F.col(lon_col) - F.col("qlon")) <= F.col("radius"))
+                & (F.abs(F.col(lat_col) - F.col("qlat")) <= F.col("radius"))
+            )
+        )
+        .withColumn(
+            "dist_deg",
+            F.sqrt(
+                F.pow(F.col(lon_col) - F.col("qlon"), 2)
+                + F.pow(F.col(lat_col) - F.col("qlat"), 2)
+            ),
+        )
+        .withColumn(
+            "dist_m",
+            2.0
+            * 6371008.8
+            * F.asin(
+                F.sqrt(
+                    F.pow(F.sin(F.radians(F.col(lat_col) - F.col("qlat")) / 2), 2)
+                    + F.cos(F.radians("qlat"))
+                    * F.cos(F.radians(lat_col))
+                    * F.pow(F.sin(F.radians(F.col(lon_col) - F.col("qlon")) / 2), 2)
+                )
+            ),
+        )
     )
     return (
         final.withColumn("rank", F.row_number().over(w))
