@@ -442,6 +442,16 @@ def q_quality_score(spark, sf_dir):
     return docs.select("doc_id", F.round(quality_score(F.col("text")), 6).alias("q"))
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN: coarse-quantizer cells + n_probe scan, exact re-rank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = ann.cosine_topk_ivf(
+        emb, [(0, [float(x) for x in qv])], k=5, n_centroids=8, n_probe=3
+    )
+    return out.select("neighbor_id", "rank")
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Rolling-hash (winnowing) fingerprints — count per doc (pure Catalyst)."""
     docs = _t(spark, sf_dir, "documents")
@@ -512,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "embedding_neardup": q_embedding_neardup,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "ann_ivf": q_ann_ivf,
     }
 
 
