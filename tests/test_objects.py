@@ -159,6 +159,14 @@ def test_nested_relation_cycle(spark):
     assert coords == [(8.0, 52.0)]
 
 
+def test_way_with_no_resolvable_refs_has_null_geo(spark):
+    # all refs missing → empty coordinate set → get_geo_info returns
+    # (None, None) (geo.rs:339-346); row still emitted with null geometry
+    t = make_tables(spark, ways=[(10, [991, 992], {"highway": "x"})])
+    row = objects(t, "highway").collect()[0]
+    assert row["centroid"] is None and row["bounds"] is None
+
+
 def test_no_groups_returns_everything(spark):
     t = make_tables(
         spark,
