@@ -256,8 +256,10 @@ def streets(
     """Full pipeline (mod.rs:159-184). `boundary` = admin level to split by."""
     pred = compile_groups(build_street_groups(name))
     closed = closure(tables, pred)
-    ways_f = closed.ways.filter(pred)
-    result = extract_streets(ways_f, closed.nodes)
+    # extract_streets consumes EVERY named way present in the closure —
+    # including dependency ways pulled in as members of a pred-matched
+    # relation (streets.rs:166-193 iterates all objs, not re-filtered).
+    result = extract_streets(closed.ways, closed.nodes)
     if boundary is None:
         return result.orderBy("name", "id")
     admin_pred = compile_groups(build_admin_groups([boundary]))

@@ -50,15 +50,16 @@ class LineageWriter:
     ) -> dict:
         """Idempotent write of one partition + manifest record.
 
-        The checksum is an order-insensitive xor-of-row-hashes so restarts
-        can verify content, not just counts.
+        The checksum is an order-insensitive xor-of-row-hashes
+        (bit_xor(xxhash64(row))) so restarts can verify content, not just
+        counts.
         """
         t0 = time.time()
         part_dir = os.path.join(self.out_dir, f"part={part_id}")
         stats = df.select(
             F.count("*").alias("n"),
             F.coalesce(
-                F.sum(F.xxhash64(F.to_json(F.struct("*"))) % F.lit(2**31)), F.lit(0)
+                F.bit_xor(F.xxhash64(F.to_json(F.struct("*")))), F.lit(0)
             ).alias("checksum"),
         ).collect()[0]
         df.write.mode("overwrite").parquet(part_dir)
@@ -73,6 +74,11 @@ class LineageWriter:
             f.write(json.dumps(rec) + "\n")
         return rec
 
+    def append_records(self, recs: list[dict]):
+        with open(self.manifest_path, "a") as f:
+            for rec in recs:
+                f.write(json.dumps(rec) + "\n")
+
 
 def run_partitioned(
     df: DataFrame,
@@ -81,12 +87,59 @@ def run_partitioned(
     input_fingerprint: str = "",
 ) -> list[dict]:
     """Execute a partitioned job with restart: skip partitions already in
-    the manifest, write the rest. Returns the manifest records written."""
+    the manifest, write the rest. Returns the manifest records written.
+
+    ONE write pass for all remaining partitions (`partitionBy` + dynamic
+    partition overwrite) — the upstream plan executes once, not once per
+    partition. On a fresh run there is no planning scan at all; on restart
+    the input is filtered to the manifest-diff remainder. Per-partition
+    row counts and checksums come from one aggregation over the
+    read-back parquet (cheap column scan of what was just written), so the
+    manifest verifies the bytes on disk, not the plan.
+    """
     writer = LineageWriter(out_dir)
-    planned = [r[0] for r in df.select(part_col).distinct().collect()]
-    todo = writer.remaining_partitions(sorted(planned))
-    out = []
-    for pid in todo:
-        part_df = df.filter(F.col(part_col) == pid).drop(part_col)
-        out.append(writer.write_partition(part_df, pid, input_fingerprint))
-    return out
+    spark = df.sparkSession
+    done = writer.completed()
+    todo_df = df
+    if done:
+        planned = [r[0] for r in df.select(part_col).distinct().collect()]
+        todo = writer.remaining_partitions(sorted(planned))
+        if not todo:
+            return []
+        todo_df = df.filter(
+            F.col(part_col).cast("string").isin([str(p) for p in todo])
+        )
+    t0 = time.time()
+    (
+        todo_df.withColumnRenamed(part_col, "part")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part")
+        .parquet(writer.out_dir)
+    )
+    wall_ms = int((time.time() - t0) * 1000)
+    back = spark.read.parquet(writer.out_dir)
+    data_cols = [c for c in back.columns if c != "part"]
+    stats = (
+        back.filter(~F.col("part").cast("string").isin(list(done.keys())) if done else F.lit(True))
+        .groupBy("part")
+        .agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.bit_xor(F.xxhash64(F.to_json(F.struct(*data_cols)))), F.lit(0)
+            ).alias("checksum"),
+        )
+        .collect()
+    )
+    recs = [
+        {
+            "part_id": str(r["part"]),
+            "rows": r["n"],
+            "checksum": int(r["checksum"]),
+            "input_fingerprint": input_fingerprint,
+            "wall_ms": wall_ms,
+        }
+        for r in sorted(stats, key=lambda r: str(r["part"]))
+    ]
+    writer.append_records(recs)
+    return recs

@@ -54,14 +54,20 @@ def repartition_by_tile_prefix(
 
 def hot_keys(df: DataFrame, key: str, threshold_frac: float = 0.01, sample: float = 0.05):
     """Keys covering more than `threshold_frac` of a sample — candidates
-    for explicit salting."""
-    total = df.count()
-    if total == 0:
-        return []
-    s = df.sample(fraction=min(1.0, sample), seed=42)
-    counts = s.groupBy(key).count()
-    cutoff = max(1, int(total * sample * threshold_frac))
-    return [r[0] for r in counts.filter(F.col("count") >= cutoff).collect()]
+    for explicit salting.
+
+    Single input scan: the cutoff is derived from the SAMPLE's own total
+    (one window over the tiny aggregated key-count table), never from a
+    full `df.count()` — at 100 TB a count-for-a-cutoff is a wasted scan.
+    """
+    from pyspark.sql import Window
+
+    counts = df.sample(fraction=min(1.0, sample), seed=42).groupBy(key).count()
+    tot = F.sum("count").over(Window.partitionBy(F.lit(1)))
+    hot = counts.withColumn(
+        "_cut", F.greatest(F.lit(1), F.floor(tot * F.lit(threshold_frac)).cast("long"))
+    ).filter(F.col("count") >= F.col("_cut"))
+    return [r[0] for r in hot.select(key).collect()]
 
 
 def salted_join(
@@ -77,8 +83,15 @@ def salted_join(
     small_rep = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
+    # The salt must be DETERMINISTIC per row content: task retries (routine
+    # at 1000-executor scale) re-evaluate the expression, and a retry that
+    # re-salts rows differently can duplicate/drop join output after partial
+    # stage retries. Hashing all columns reproduces the same salt per row;
+    # fully duplicate rows share a salt bucket, which only costs balance,
+    # never correctness.
     large_salted = large.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)).cast("int")
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(salt)).cast("int"),
     )
     out = large_salted.join(small_rep, [key, "_salt"], how)
     return out.drop("_salt")

@@ -105,6 +105,13 @@ class PbfData:
 _MEMBER_TYPES = ("node", "way", "relation")
 
 
+def _trunc_div100(v: int) -> int:
+    """Nanodegrees → decimicro with Rust i64 semantics: division TRUNCATES
+    toward zero (osmpbfreader `/ 100`), while Python `//` floors — they
+    differ by 1 for negative values not divisible by 100."""
+    return v // 100 if v >= 0 else -((-v) // 100)
+
+
 def _decode_dense(group_buf: bytes, strings: list[str], block: dict, out: PbfData):
     ids = lats = lons = keys_vals = None
     for fnum, _, val in _iter_fields(group_buf):
@@ -138,9 +145,12 @@ def _decode_dense(group_buf: bytes, strings: list[str], block: dict, out: PbfDat
             v = kv[kv_pos]
             kv_pos += 1
             tags[strings[k]] = strings[v]
-        # osmpbfreader stores decimicro (1e-7 deg) as i32: nanodegrees / 100
-        dmlat = (lat_off + gran * cur_lat) // 100
-        dmlon = (lon_off + gran * cur_lon) // 100
+        # osmpbfreader stores decimicro (1e-7 deg) as i32: nanodegrees / 100.
+        # Rust i64 division truncates toward zero; Python // floors, which
+        # differs for negative nanodegree values not divisible by 100
+        # (southern/western hemisphere with non-default granularity/offset).
+        dmlat = _trunc_div100(lat_off + gran * cur_lat)
+        dmlon = _trunc_div100(lon_off + gran * cur_lon)
         out.nodes.append((cur_id, dmlat * 1e-7, dmlon * 1e-7, tags))
 
 

@@ -86,3 +86,14 @@ def test_ivf_ann_recall(spark):
     iv = {(r["qid"], r["neighbor_id"]) for r in ivf.collect()}
     recall = len(ex & iv) / len(ex)
     assert recall >= 0.8, recall
+
+
+def test_trunc_div100_matches_rust_i64_division():
+    """osmpbfreader divides nanodegrees by 100 with Rust i64 semantics
+    (truncate toward zero); Python // floors. Negative southern/western
+    coordinates with non-default granularity/offset hit the difference."""
+    from osm_pbf2json_spark.sources.pbf import _trunc_div100
+
+    for v in [0, 1, 99, 100, 101, -1, -99, -100, -101, -524413001, 524413001]:
+        q = abs(v) // 100  # truncation toward zero, exactly Rust's i64 `/`
+        assert _trunc_div100(v) == (q if v >= 0 else -q)
