@@ -261,6 +261,21 @@ def q_j5_pip_join(spark, sf_dir):
     )
 
 
+def q_j5b_pip_cells(spark, sf_dir):
+    """J5 large×large fallback: covering-cell equi-join (no broadcast of
+    the polygon side) + per-polygon vectorized exact refine."""
+    pts = _points(spark, sf_dir)
+    polys = spark.createDataFrame(
+        [
+            ("A", [[[{"lon": x, "lat": y} for x, y in POLY_A + POLY_A[:1]]]]),
+            ("B", [[[{"lon": x, "lat": y} for x, y in POLY_B + POLY_B[:1]]]]),
+        ],
+        "key string, polygons array<array<array<struct<lon:double,lat:double>>>>",
+    )
+    out = spatial.pip_join_cells(pts, polys, level=8)
+    return out.select("point_id", F.col("key").alias("polygon_key"))
+
+
 def q_j6_bbox_self_join(spark, sf_dir):
     """J6: padded-bbox self-join (pure Catalyst cell bucketing)."""
     orders = _t(spark, sf_dir, "orders")
@@ -499,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_bbox_diag_length": q_a4_bbox_diag_length,
         "a7_line_centroid": q_a7_line_centroid,
         "j5_pip_join": q_j5_pip_join,
+        "j5b_pip_cells": q_j5b_pip_cells,
         "j6_bbox_self_join": q_j6_bbox_self_join,
         "tile_assign": q_tile_assign,
         "tile_histogram": q_tile_histogram,
@@ -641,6 +657,12 @@ def oracle_sql() -> dict[str, str]:
                         WHEN {in_b} THEN 'B'
                         ELSE NULL END AS polygon_key
             FROM pts
+        """,
+        "j5b_pip_cells": f"""
+            WITH pts AS ({_POINTS_SQL})
+            SELECT point_id, 'A' AS polygon_key FROM pts WHERE {in_a}
+            UNION ALL
+            SELECT point_id, 'B' AS polygon_key FROM pts WHERE {in_b}
         """,
         "j6_bbox_self_join": """
             WITH boxes AS (

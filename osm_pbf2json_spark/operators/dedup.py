@@ -116,12 +116,16 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 42,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig array<long>[num_perm]) minhash signatures, fully JVM-side:
     per-shingle permuted hashes via transform over literal coefficients,
-    positional mins via posexplode + groupBy(id, pos)."""
+    positional mins via posexplode + groupBy(id, pos).
+
+    Pass `shingle_df` (a precomputed `(id, h)` shingle table) to share one
+    normalize→shingle→hash pass with a downstream exact-verify stage."""
     a, b = _perm_coeffs(num_perm, seed)
-    sh = _shingle_table(df, text_col, id_col, n)
+    sh = shingle_df if shingle_df is not None else _shingle_table(df, text_col, id_col, n)
     # one shuffle of (id, h); the num_perm× blowup happens inside a
     # vectorized Arrow kernel instead of through the exchange
     grouped = sh.groupBy("id").agg(F.collect_list("h").alias("hs"))
@@ -148,9 +152,15 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Candidate pairs from LSH banding, verified by exact n-gram Jaccard."""
+    """Candidate pairs from LSH banding, verified by exact n-gram Jaccard.
+
+    The shingle table is computed ONCE (normalize→split→shingle→xxhash is
+    the dominant corpus pass) and pinned with localCheckpoint so both the
+    signature stage and the exact-verify stage read the materialized
+    partitions instead of re-running the pass."""
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, num_perm, n, text_col, id_col)
+    sh = _shingle_table(df, text_col, id_col, n).localCheckpoint(eager=True)
+    sigs = minhash_signatures(df, num_perm, n, text_col, id_col, shingle_df=sh)
     banded = sigs.select(
         "id",
         F.explode(
@@ -180,8 +190,8 @@ def minhash_lsh_pairs(
         .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         .distinct()
     )
-    # exact verify: recompute Jaccard only for candidates (semi-join prune)
-    sh = _shingle_table(df, text_col, id_col, n)
+    # exact verify: Jaccard only for candidates (semi-join prune), reusing
+    # the checkpointed shingle table
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     ash = sh.select(F.col("id").alias("a"), "h")
     bsh = sh.select(F.col("id").alias("b"), "h")

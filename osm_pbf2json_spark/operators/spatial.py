@@ -219,19 +219,27 @@ def pip_join_cells(
     cand = pts.join(pol, "_cell")
 
     def refine(iterator):
+        # Vectorized per CANDIDATE POLYGON, not per row: group each Arrow
+        # batch by polygon key, parse that polygon's rings ONCE, and run a
+        # single points_in_polygons call over all its candidate points.
+        # Python cost is O(#polygons-present-in-batch) calls, not O(rows).
         for pdf in iterator:
+            if not len(pdf):
+                yield pdf
+                continue
             keep = np.zeros(len(pdf), dtype=bool)
-            for i, (_, r) in enumerate(pdf.iterrows()):
+            lon = pdf[lon_col].to_numpy(np.float64)
+            lat = pdf[lat_col].to_numpy(np.float64)
+            for _, idx in pdf.groupby("key", sort=False).indices.items():
                 rings = [
                     [
                         np.array([(c["lon"], c["lat"]) for c in ring], np.float64)
                         for ring in poly
                     ]
-                    for poly in r["polygons"]
+                    for poly in pdf["polygons"].iloc[idx[0]]
                 ]
-                keep[i] = points_in_polygons(
-                    np.array([[r[lon_col], r[lat_col]]]), rings
-                )[0]
+                pts = np.stack([lon[idx], lat[idx]], axis=1)
+                keep[idx] = points_in_polygons(pts, rings)
             yield pdf[keep]
 
     refined = cand.mapInPandas(refine, cand.schema)

@@ -122,3 +122,52 @@ def test_knn_join_exact_topk(spark):
         d = np.hypot(lon - qlon, lat - qlat)  # planar degrees, engine metric
         expect = list(np.argsort(d, kind="stable")[:5])
         assert got[qid] == [int(i) for i in expect], qid
+
+
+def test_pip_join_cells_vectorized_refine_at_scale(spark):
+    """The exact-refine kernel must be per-POLYGON vectorized, not per-row:
+    ~1e5 candidate rows across 50 polygons should agree with the broadcast
+    path and complete in seconds (the old iterrows refine took minutes)."""
+    import time
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    n_pts, n_polys = 100_000, 50
+    lon = rng.uniform(0, 10, n_pts)
+    lat = rng.uniform(0, 10, n_pts)
+    pts = spark.createDataFrame(
+        [(i, float(lon[i]), float(lat[i])) for i in range(n_pts)],
+        "id long, lon double, lat double",
+    ).repartition(8)
+
+    # 50 disjoint-ish squares on a grid, some overlapping point mass heavily
+    prows, brows = [], []
+    for k in range(n_polys):
+        x0, y0 = (k % 10) * 1.0, (k // 10) * 2.0
+        ring = [(x0, y0), (x0 + 0.9, y0), (x0 + 0.9, y0 + 1.9), (x0, y0 + 1.9), (x0, y0)]
+        prows.append((f"p{k:02d}", [[[{"lon": x, "lat": y} for x, y in ring]]]))
+        brows.append({"key": f"p{k:02d}", "polygons": [[ring]]})
+    polys = spark.createDataFrame(
+        prows, "key string, polygons array<array<array<struct<lon:double,lat:double>>>>"
+    )
+
+    t0 = time.time()
+    got = {
+        (r["id"], r["key"])
+        for r in S.pip_join_cells(pts, polys, level=8).collect()
+    }
+    elapsed = time.time() - t0
+    want = {
+        (r["id"], r["polygon_key"])
+        for r in S.pip_join_broadcast(pts, brows, out_col="polygon_key").collect()
+        if r["polygon_key"] is not None
+    }
+    assert got == want and len(got) > 10_000
+    assert elapsed < 60, f"refine too slow: {elapsed:.1f}s for {n_pts} pts"
+
+
+def test_pip_join_cells_refine_not_per_row():
+    """Source-level gate: the refine kernel must not use iterrows."""
+    import inspect
+
+    src = inspect.getsource(S.pip_join_cells)
+    assert "iterrows" not in src
