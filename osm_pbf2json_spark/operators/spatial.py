@@ -19,8 +19,9 @@ Spark-native operators sized for 10¹²-row inputs:
   + least/greatest dedup) — whole-stage-codegen, no Python.
 - `assign_tiles` / `tiles_to_geometries`: raster↔vector tile assignment
   at hex res 7-11 or quad levels.
-- `knn_join`: k-ring expansion around each query cell + exact haversine
-  top-k via window (small query side broadcast onto the cell join).
+- `knn_join`: exact kNN in two jobs — a per-tile bbox histogram bounds
+  the kth-NN distance per query driver-side, then one bounded candidate
+  scan + window top-k (query side broadcast; never a crossJoin).
 """
 
 from __future__ import annotations
@@ -381,120 +382,85 @@ def knn_join(
     lon_col: str = "lon",
     lat_col: str = "lat",
 ) -> DataFrame:
-    """H3-style k-ring kNN: for each (qid, qlon, qlat) query, the exact k
-    nearest points by planar degree distance (the engine's geometry is
-    planar-degree throughout, like the reference's euclidean geo math);
-    haversine meters reported alongside.
+    """Exact kNN for each (qid, qlon, qlat) query by planar degree
+    distance (the engine's geometry is planar-degree throughout, like the
+    reference's euclidean geo math); haversine meters reported alongside.
 
-    Two-phase exact search (query side tiny and broadcast throughout):
-      1. hex k-ring expansion (doubling, capped, growth-stall detection)
-         until every query sees ≥ k candidates — one cell equi-join per
-         round;
-      2. exactness net: any point beating phase-1's kth distance d_k lies
-         in the planar bbox of half-width d_k (+cell slack) around the
-         query — a pure-Catalyst broadcast predicate. Queries whose
-         neighborhood population is < k (growth stalled / ring capped)
-         fall back to scoring the full point set.
+    Exactly TWO Spark jobs, no driver-side expansion loop and no
+    crossJoin fallback:
+      1. per-tile histogram with bbox stats — (tile, count, lon/lat
+         min/max) over the whole corpus, one map-side-combined agg;
+      2. candidate scan: points in the selected tiles joined to a
+         broadcast (qid, tile) list, exact distance + window top-k.
+
+    Tile selection is driver-side numpy over the collected histogram:
+    per query, rank occupied tiles by their FARTHEST-corner distance
+    (upper bound); once the cumulative count reaches k at bound D_k, the
+    kth-NN distance is provably ≤ D_k, so the exact candidate set is
+    every tile whose NEAREST point-to-bbox distance ≤ D_k. Sparse
+    neighborhoods never trigger a full scan — the bound just widens to
+    however many occupied tiles are actually needed. If the corpus holds
+    fewer than k points, all occupied tiles are selected (D_k = ∞).
+
+    The histogram is O(occupied tiles at `res`): choose `res` so it
+    stays driver-sized (coarser for sparser corpora); at planet scale a
+    res-7-sized histogram is ~10⁵ rows of 6 numbers.
+
+    The bucketing grid is internal to this operator and the bbox-stats
+    bound is grid-agnostic, so tiles are a PLANAR grid sized like hex
+    `res`, computed as pure Catalyst expressions — the whole pipeline is
+    JVM-side/whole-stage-codegen; no Python touches the corpus.
     """
     spark = points.sparkSession
-    pts = point_tile(points, res, lon_col, lat_col, grid="hex")
-    pts = pts.select(id_col, lon_col, lat_col, "tile").cache()
-    size = float(T.hex_size(res))
+    s = float(T.hex_size(res))
+    cx = F.floor(F.col(lon_col) / s).cast("long")
+    cy = F.floor(F.col(lat_col) / s).cast("long")
+    pts = points.select(
+        id_col, lon_col, lat_col,
+        ((cx + F.lit(1 << 20)) * F.lit(1 << 21) + (cy + F.lit(1 << 20))).alias("tile"),
+    ).cache()
 
-    centers = {
-        qid: int(T.hex_cell(np.array([qlon]), np.array([qlat]), res)[0])
-        for qid, qlon, qlat in queries
-    }
-
-    def cells_df(rings: dict[int, int]):
-        rows = []
-        for qid, qlon, qlat in queries:
-            for c in T.hex_k_ring(centers[qid], rings[qid]).tolist():
-                rows.append((qid, float(qlon), float(qlat), int(c)))
-        return spark.createDataFrame(
-            rows, "qid long, qlon double, qlat double, tile long"
+    hist = (
+        pts.groupBy("tile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(lon_col).alias("x0"), F.max(lon_col).alias("x1"),
+            F.min(lat_col).alias("y0"), F.max(lat_col).alias("y1"),
         )
-
-    def candidates(rings):
-        return pts.join(F.broadcast(cells_df(rings)), "tile").withColumn(
-            "dist_deg",
-            F.sqrt(
-                F.pow(F.col(lon_col) - F.col("qlon"), 2)
-                + F.pow(F.col(lat_col) - F.col("qlat"), 2)
-            ),
-        )
-
-    # phase 1: double rings until every query has ≥ k candidates, the ring
-    # hits the cap, or growth stalls (query region exhausted)
-    max_ring = 64
-    rings = {qid: 2 for qid, _, _ in queries}
-    prev_counts: dict = {}
-    full_scan_qids: set = set()
-    for _ in range(8):
-        counts = {
-            r["qid"]: r["n"]
-            for r in candidates(rings)
-            .groupBy("qid")
-            .count()
-            .withColumnRenamed("count", "n")
-            .collect()
-        }
-        lacking = [qid for qid in rings if counts.get(qid, 0) < k]
-        if not lacking:
-            break
-        stalled = [
-            qid
-            for qid in lacking
-            if counts.get(qid, 0) == prev_counts.get(qid, -1) or rings[qid] >= max_ring
-        ]
-        full_scan_qids.update(
-            qid for qid in stalled if rings[qid] >= max_ring or counts.get(qid, 0) == prev_counts.get(qid, -1)
-        )
-        still = [q for q in lacking if q not in full_scan_qids]
-        if not still:
-            break
-        for qid in still:
-            rings[qid] = min(rings[qid] * 2, max_ring)
-        prev_counts = counts
-
-    # phase 2: exactness net. For queries with a kth candidate, any point
-    # beating it lies within a planar bbox of half-width d_k around the
-    # query (plus cell slack) — a pure-Catalyst predicate, no cell blowup.
-    # Queries flagged for full scan (k > nearby population) get the whole
-    # point set as candidates.
-    w = Window.partitionBy("qid").orderBy(F.col("dist_deg").asc(), F.col(id_col).asc())
-    kth = {
-        r["qid"]: r["dist_deg"]
-        for r in candidates(rings)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") == k)
-        .select("qid", "dist_deg")
         .collect()
-    }
-    full_scan_qids.update(qid for qid, _, _ in queries if qid not in kth)
-
-    qmeta = spark.createDataFrame(
-        [
-            (
-                int(qid),
-                float(qlon),
-                float(qlat),
-                float(kth.get(qid, 0.0) + 2.0 * size),
-                qid in full_scan_qids,
-            )
-            for qid, qlon, qlat in queries
-        ],
-        "qid long, qlon double, qlat double, radius double, full boolean",
     )
-    final = (
-        pts.crossJoin(F.broadcast(qmeta))
-        .filter(
-            F.col("full")
-            | (
-                (F.abs(F.col(lon_col) - F.col("qlon")) <= F.col("radius"))
-                & (F.abs(F.col(lat_col) - F.col("qlat")) <= F.col("radius"))
-            )
+    if not hist:
+        return spark.createDataFrame(
+            [], "qid long, neighbor_id long, dist_deg double, dist_m double, rank int"
         )
+    tiles = np.array([r["tile"] for r in hist], dtype=np.int64)
+    cnt = np.array([r["n"] for r in hist], dtype=np.int64)
+    bx0 = np.array([r["x0"] for r in hist], dtype=np.float64)
+    bx1 = np.array([r["x1"] for r in hist], dtype=np.float64)
+    by0 = np.array([r["y0"] for r in hist], dtype=np.float64)
+    by1 = np.array([r["y1"] for r in hist], dtype=np.float64)
+
+    qrows = []
+    for qid, qlon, qlat in queries:
+        dmin = np.hypot(
+            np.maximum(np.maximum(bx0 - qlon, qlon - bx1), 0.0),
+            np.maximum(np.maximum(by0 - qlat, qlat - by1), 0.0),
+        )
+        dmax = np.hypot(
+            np.maximum(np.abs(qlon - bx0), np.abs(qlon - bx1)),
+            np.maximum(np.abs(qlat - by0), np.abs(qlat - by1)),
+        )
+        order = np.argsort(dmax, kind="stable")
+        csum = np.cumsum(cnt[order])
+        pos = int(np.searchsorted(csum, k))
+        dk = np.inf if pos >= len(order) else float(dmax[order[pos]])
+        for t in tiles[dmin <= dk].tolist():
+            qrows.append((int(qid), float(qlon), float(qlat), int(t)))
+    qdf = spark.createDataFrame(qrows, "qid long, qlon double, qlat double, tile long")
+
+    w = Window.partitionBy("qid").orderBy(F.col("dist_deg").asc(), F.col(id_col).asc())
+    final = (
+        pts.join(F.broadcast(qdf), "tile")
         .withColumn(
             "dist_deg",
             F.sqrt(
