@@ -169,13 +169,9 @@ def extract_streets(ways_filtered: DataFrame, nodes: DataFrame) -> DataFrame:
     return seg_input.groupBy("name").applyInPandas(_cluster_group, STREET_SCHEMA)
 
 
-def _split_streets_factory(boundary_rows: list[dict]):
-    """mapInPandas kernel factory: broadcast boundary list → split kernel.
-
-    boundary_rows: [{name, admin_level, relation_id, sw_lon.., polygons}]
-    sorted deterministically; polygons as nested lon/lat lists.
-    """
-
+def _parse_boundaries(boundary_rows: list[dict]):
+    """Deterministic (admin_level, name, relation_id) order + parsed ring
+    arrays + bbox matrix for a list of assembled boundary dicts."""
     bnds = sorted(
         boundary_rows, key=lambda b: (b["admin_level"], b["name"], b["relation_id"])
     )
@@ -189,71 +185,255 @@ def _split_streets_factory(boundary_rows: list[dict]):
     bb = np.array(
         [[b["sw_lon"], b["sw_lat"], b["ne_lon"], b["ne_lat"]] for b in bnds]
     ).reshape(-1, 4)
+    return bnds, polys, bb
+
+
+def _split_batch(pdf: pd.DataFrame, bnds, polys, bb, cand_lists=None) -> list[dict]:
+    """Vectorized J3→J7 boundary split of one Arrow batch of street rows.
+
+    Batch shape (not per-row Python):
+    - J3 AABB probe: one streets×boundaries numpy broadcast over the whole
+      batch (or a pre-restricted `cand_lists` from the cell join);
+    - J4 exact refine only on pairs that survive J3;
+    - J5 ownership: ONE points_in_polygons call per boundary present in
+      the batch, over all still-unowned segment centroids eligible for it
+      (global sorted order == per-street candidate order, so "first match
+      wins" is preserved);
+    - J7 fallback: first candidate in deterministic order.
+    """
+    n = len(pdf)
+    if n == 0:
+        return []
+    streets_parsed = []  # (row_dict, segs, bbox)
+    for r in pdf.to_dict("records"):
+        segs = [
+            {
+                "way_id": s["way_id"],
+                "xy": np.array(
+                    [(c["lon"], c["lat"]) for c in s["coords"]], np.float64
+                ).reshape(-1, 2),
+            }
+            for s in r["segments"]
+        ]
+        pts = np.vstack([s["xy"] for s in segs])
+        streets_parsed.append(
+            (r, segs, (pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max()))
+        )
+
+    nb = len(bnds)
+    sb = np.array([s[2] for s in streets_parsed]).reshape(-1, 4)
+    if cand_lists is None:
+        if nb:
+            hit = (
+                (bb[None, :, 0] <= sb[:, None, 2])
+                & (bb[None, :, 2] >= sb[:, None, 0])
+                & (bb[None, :, 1] <= sb[:, None, 3])
+                & (bb[None, :, 3] >= sb[:, None, 1])
+            )
+            cand3 = [np.flatnonzero(hit[i]).tolist() for i in range(n)]
+        else:
+            cand3 = [[] for _ in range(n)]
+    else:
+        # cell-join pre-candidates still need the exact J3 bbox test
+        cand3 = [
+            [
+                k
+                for k in cand_lists[i]
+                if bb[k, 0] <= sb[i, 2]
+                and bb[k, 2] >= sb[i, 0]
+                and bb[k, 1] <= sb[i, 3]
+                and bb[k, 3] >= sb[i, 1]
+            ]
+            for i in range(n)
+        ]
+
+    # J4: exact linestring×multipolygon on surviving pairs only
+    cand4 = []
+    for i, (_, segs, _) in enumerate(streets_parsed):
+        cand4.append(
+            [
+                k
+                for k in cand3[i]
+                if any(linestring_intersects_polygon(s["xy"], polys[k]) for s in segs)
+            ]
+        )
+
+    # J5: one PIP call per boundary over all eligible unowned centroids
+    seg_street: list[int] = []
+    seg_objs: list[dict] = []
+    cents: list = []
+    for i, (_, segs, _) in enumerate(streets_parsed):
+        if not cand4[i]:
+            continue
+        for s in segs:
+            seg_street.append(i)
+            seg_objs.append(s)
+            cents.append(line_centroid(s["xy"]))
+    out_rows: list[dict] = []
+    if seg_objs:
+        m = len(seg_objs)
+        seg_street_arr = np.array(seg_street)
+        cent_arr = np.array(cents).reshape(-1, 2)
+        elig = np.zeros((m, nb), dtype=bool)
+        for i, ks in enumerate(cand4):
+            if ks:
+                rows = np.flatnonzero(seg_street_arr == i)
+                elig[np.ix_(rows, ks)] = True
+        owner = np.full(m, -1, dtype=np.int64)
+        for k in np.flatnonzero(elig.any(axis=0)).tolist():
+            idx = np.flatnonzero((owner < 0) & elig[:, k])
+            if not len(idx):
+                continue
+            inside = points_in_polygons(cent_arr[idx], polys[k])
+            owner[idx[inside]] = k
+        for i, (r, _, _) in enumerate(streets_parsed):
+            if not cand4[i]:
+                continue
+            groups: dict[str, list] = {}
+            for j in np.flatnonzero(seg_street_arr == i).tolist():
+                o = int(owner[j]) if owner[j] >= 0 else cand4[i][0]  # J7
+                groups.setdefault(bnds[o]["name"], []).append(seg_objs[j])
+            for bname, members in groups.items():
+                out_rows.append(_street_row(r["name"], bname, members))
+    for i, (r, _, _) in enumerate(streets_parsed):
+        if not cand4[i]:
+            out_rows.append(r)  # passthrough: boundary stays NULL
+    return out_rows
+
+
+_STREET_COLS = ["id", "name", "boundary", "length", "loc_lon", "loc_lat", "segments"]
+
+
+def _split_streets_factory(boundary_rows: list[dict]):
+    """mapInPandas kernel factory: broadcast boundary list → split kernel.
+
+    boundary_rows: [{name, admin_level, relation_id, sw_lon.., polygons}]
+    sorted deterministically; polygons as nested lon/lat lists.
+    """
+    bnds, polys, bb = _parse_boundaries(boundary_rows)
 
     def split(iterator):
         for pdf in iterator:
-            out_rows = []
-            for _, r in pdf.iterrows():
-                segs = [
-                    {
-                        "way_id": s["way_id"],
-                        "xy": np.array(
-                            [(c["lon"], c["lat"]) for c in s["coords"]], np.float64
-                        ).reshape(-1, 2),
-                    }
-                    for s in r["segments"]
-                ]
-                pts = np.vstack([s["xy"] for s in segs])
-                sx0, sy0 = pts[:, 0].min(), pts[:, 1].min()
-                sx1, sy1 = pts[:, 0].max(), pts[:, 1].max()
-                # J3 probe: AABB overlap
-                cand = [
-                    k
-                    for k in range(len(bnds))
-                    if bb[k, 0] <= sx1
-                    and bb[k, 2] >= sx0
-                    and bb[k, 1] <= sy1
-                    and bb[k, 3] >= sy0
-                ]
-                # J4 refine: any segment linestring intersects the multipolygon
-                cand = [
-                    k
-                    for k in cand
-                    if any(
-                        linestring_intersects_polygon(s["xy"], polys[k]) for s in segs
-                    )
-                ]
-                if not cand:
-                    out_rows.append(r.to_dict())
-                    continue
-                groups: dict[str, list] = {}
-                for s in segs:
-                    c = line_centroid(s["xy"])
-                    owner = None
-                    for k in cand:  # J5 ownership, first match
-                        if points_in_polygons(np.array([c]), polys[k])[0]:
-                            owner = k
-                            break
-                    if owner is None:
-                        owner = cand[0]  # J7 fallback
-                    groups.setdefault(bnds[owner]["name"], []).append(s)
-                for bname, members in groups.items():
-                    out_rows.append(_street_row(r["name"], bname, members))
-            yield pd.DataFrame(out_rows)[
-                ["id", "name", "boundary", "length", "loc_lon", "loc_lat", "segments"]
-            ] if out_rows else pd.DataFrame(
-                columns=["id", "name", "boundary", "length", "loc_lon", "loc_lat", "segments"]
+            out_rows = _split_batch(pdf, bnds, polys, bb)
+            yield (
+                pd.DataFrame(out_rows)[_STREET_COLS]
+                if out_rows
+                else pd.DataFrame(columns=_STREET_COLS)
             )
 
     return split
+
+
+def split_streets_by_cells(streets_df: DataFrame, boundaries_df: DataFrame, cell: float = 0.5) -> DataFrame:
+    """Distributed boundary split for LARGE boundary sets (no driver
+    collect, no broadcast of the polygon side).
+
+    Both sides explode to covering cells of their bboxes (pure Catalyst);
+    the cell equi-join + bbox-overlap filter yields (street, candidate
+    boundary) pairs; candidates aggregate per street and the same
+    vectorized J3→J7 kernel runs per batch with per-row candidate lists.
+    Streets with no candidates pass through with boundary NULL.
+    """
+    from .spatial import _bbox_cells
+
+    lons = F.flatten(
+        F.transform("segments", lambda s: F.transform(s["coords"], lambda c: c["lon"]))
+    )
+    lats = F.flatten(
+        F.transform("segments", lambda s: F.transform(s["coords"], lambda c: c["lat"]))
+    )
+    st = streets_df.withColumn("_sx0", F.array_min(lons)).withColumn(
+        "_sx1", F.array_max(lons)
+    ).withColumn("_sy0", F.array_min(lats)).withColumn("_sy1", F.array_max(lats))
+
+    st_cells = st.select(
+        "name",
+        "id",
+        "_sx0", "_sy0", "_sx1", "_sy1",
+        F.explode(
+            _bbox_cells(F.col("_sx0"), F.col("_sy0"), F.col("_sx1"), F.col("_sy1"), 0.0, cell)
+        ).alias("_cell"),
+    )
+    bd_cells = boundaries_df.select(
+        "relation_id",
+        F.col("name").alias("bname"),
+        "admin_level",
+        "sw_lon", "sw_lat", "ne_lon", "ne_lat",
+        "polygons",
+        F.explode(
+            _bbox_cells(F.col("sw_lon"), F.col("sw_lat"), F.col("ne_lon"), F.col("ne_lat"), 0.0, cell)
+        ).alias("_cell"),
+    )
+    cand = (
+        st_cells.join(bd_cells, "_cell")
+        .filter(
+            (F.col("sw_lon") <= F.col("_sx1"))
+            & (F.col("ne_lon") >= F.col("_sx0"))
+            & (F.col("sw_lat") <= F.col("_sy1"))
+            & (F.col("ne_lat") >= F.col("_sy0"))
+        )
+        .dropDuplicates(["name", "id", "relation_id"])
+        .groupBy("name", "id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("bname").alias("name"),
+                    "admin_level",
+                    "relation_id",
+                    "sw_lon", "sw_lat", "ne_lon", "ne_lat",
+                    "polygons",
+                )
+            ).alias("_cands")
+        )
+    )
+    joined = streets_df.join(cand, ["name", "id"], "left")
+
+    def split(iterator):
+        for pdf in iterator:
+            if not len(pdf):
+                yield pd.DataFrame(columns=_STREET_COLS)
+                continue
+            # local boundary universe for this batch, deduped + sorted in
+            # the same deterministic order as the broadcast path
+            seen: dict[int, dict] = {}
+            for cl in pdf["_cands"]:
+                if cl is None:
+                    continue
+                for b in cl:
+                    seen.setdefault(b["relation_id"], b)
+            bnds, polys, bb = _parse_boundaries(list(seen.values()))
+            local_idx = {b["relation_id"]: i for i, b in enumerate(bnds)}
+            cand_lists = [
+                [] if cl is None else sorted(local_idx[b["relation_id"]] for b in cl)
+                for cl in pdf["_cands"]
+            ]
+            out_rows = _split_batch(
+                pdf.drop(columns=["_cands"]), bnds, polys, bb, cand_lists=cand_lists
+            )
+            yield (
+                pd.DataFrame(out_rows)[_STREET_COLS]
+                if out_rows
+                else pd.DataFrame(columns=_STREET_COLS)
+            )
+
+    return joined.mapInPandas(split, STREET_SCHEMA)
 
 
 def streets(
     tables: EntityTables,
     name: str | None = None,
     boundary: int | None = None,
+    max_broadcast_boundaries: int = 5000,
 ) -> DataFrame:
-    """Full pipeline (mod.rs:159-184). `boundary` = admin level to split by."""
+    """Full pipeline (mod.rs:159-184). `boundary` = admin level to split by.
+
+    The boundary set is size-gated: up to `max_broadcast_boundaries`
+    assembled multipolygons are collected and broadcast into the split
+    kernel (admin levels have at most a few thousand globally); above the
+    gate — e.g. a planet-scale level-10 run — the split switches to the
+    distributed cell-join path so the driver never materializes the
+    polygon side.
+    """
     pred = compile_groups(build_street_groups(name))
     closed = closure(tables, pred)
     # extract_streets consumes EVERY named way present in the closure —
@@ -264,6 +444,10 @@ def streets(
         return result.orderBy("name", "id")
     admin_pred = compile_groups(build_admin_groups([boundary]))
     admin_closed = closure(tables, admin_pred)
-    brows = [r.asDict(recursive=True) for r in boundaries_from_closure(admin_closed).collect()]
-    split = result.mapInPandas(_split_streets_factory(brows), STREET_SCHEMA)
+    bdf = boundaries_from_closure(admin_closed).localCheckpoint(eager=True)
+    if bdf.count() <= max_broadcast_boundaries:
+        brows = [r.asDict(recursive=True) for r in bdf.collect()]
+        split = result.mapInPandas(_split_streets_factory(brows), STREET_SCHEMA)
+    else:
+        split = split_streets_by_cells(result, bdf)
     return split.orderBy("name", "boundary", "id")

@@ -92,3 +92,84 @@ def test_split_street_by_boundary(wilhelmstrasse):
     assert len(lines) == 2
     assert "Wilhelmstraße" in lines[0] and "Kreuzberg" in lines[0]
     assert "Wilhelmstraße" in lines[1] and "Mitte" in lines[1]
+
+
+def test_split_street_by_boundary_distributed_path(wilhelmstrasse):
+    """Forcing the cell-join split (gate=0) must reproduce the broadcast
+    path's golden exactly (integration_test.rs:74-89 parity)."""
+    df = streets(wilhelmstrasse, name="Wilhelmstraße", boundary=10,
+                 max_broadcast_boundaries=0)
+    rows = df.collect()
+    got = sorted((r["name"], r["boundary"], r["id"], round(r["length"], 9)) for r in rows)
+    ref = streets(wilhelmstrasse, name="Wilhelmstraße", boundary=10).collect()
+    want = sorted((r["name"], r["boundary"], r["id"], round(r["length"], 9)) for r in ref)
+    assert got == want and len(got) == 2
+    assert {r["boundary"] for r in rows} == {"Kreuzberg", "Mitte"}
+
+
+def test_split_streets_by_cells_scale_parity(spark):
+    """2000 synthetic square boundaries x 600 streets: the distributed
+    cell-join split matches the broadcast kernel without collecting the
+    polygon side to the driver."""
+    import numpy as np
+
+    from osm_pbf2json_spark.operators.streets import (
+        STREET_SCHEMA,
+        _split_streets_factory,
+        split_streets_by_cells,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    n_b, n_s = 2000, 600
+    brows = []
+    for k in range(n_b):
+        x0 = float((k % 50) * 1.0)
+        y0 = float((k // 50) * 1.0)
+        ring = [
+            {"lon": x0, "lat": y0},
+            {"lon": x0 + 0.95, "lat": y0},
+            {"lon": x0 + 0.95, "lat": y0 + 0.95},
+            {"lon": x0, "lat": y0 + 0.95},
+            {"lon": x0, "lat": y0},
+        ]
+        brows.append(
+            (k, f"b{k:04d}", 8, x0, y0, x0 + 0.95, y0 + 0.95, [[ring]])
+        )
+    bschema = (
+        "relation_id long, name string, admin_level int, "
+        "sw_lon double, sw_lat double, ne_lon double, ne_lat double, "
+        "polygons array<array<array<struct<lon:double,lat:double>>>>"
+    )
+    bdf = spark.createDataFrame(brows, bschema)
+
+    srows = []
+    for i in range(n_s):
+        x = float(rng.uniform(0, 50))
+        y = float(rng.uniform(0, 40))
+        coords = [
+            {"lon": x, "lat": y},
+            {"lon": x + 0.3, "lat": y + 0.2},
+        ]
+        srows.append(
+            (1000 + i, f"st{i:03d}", None, 0.36, x, y,
+             [{"way_id": 1000 + i, "coords": coords}])
+        )
+    sdf = spark.createDataFrame(srows, STREET_SCHEMA).repartition(8)
+
+    dist = split_streets_by_cells(sdf, bdf)
+    bcast = sdf.mapInPandas(
+        _split_streets_factory([
+            {
+                "relation_id": r[0], "name": r[1], "admin_level": r[2],
+                "sw_lon": r[3], "sw_lat": r[4], "ne_lon": r[5], "ne_lat": r[6],
+                "polygons": [[[{"lon": c["lon"], "lat": c["lat"]} for c in ring]
+                              for ring in poly] for poly in r[7]],
+            }
+            for r in brows
+        ]),
+        STREET_SCHEMA,
+    )
+    got = sorted((r["id"], r["name"], r["boundary"]) for r in dist.collect())
+    want = sorted((r["id"], r["name"], r["boundary"]) for r in bcast.collect())
+    assert got == want and len(got) >= n_s
+    assert sum(1 for _, _, b in got if b is not None) > n_s // 2
