@@ -479,7 +479,7 @@ def q_embedding_neardup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     # synthetic embeddings max out at ~0.51 pairwise cosine; 0.45 exercises
     # the operator with a non-empty result
-    return dedup.embedding_neardup_pairs(emb, threshold=0.45, n_planes=4).select(
+    return dedup.embedding_neardup_pairs(emb, threshold=0.45, n_planes=4, dim=64).select(
         "a", "b"
     )
 

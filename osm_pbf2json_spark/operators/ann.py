@@ -80,9 +80,21 @@ def train_ivf_centroids(
 ) -> np.ndarray:
     """Driver-side spherical k-means on a deterministic sample (the IVF
     coarse quantizer). The sample is tiny and bounded; at 10¹² rows this
-    is the standard train-small/apply-everywhere pattern."""
+    is the standard train-small/apply-everywhere pattern.
+
+    The sample is the `sample_rows` smallest xxhash64(vector) rows — a
+    deterministic, partition-UNbiased draw executed as one TakeOrdered
+    job (per-partition top-k + driver merge), unlike `limit()` which
+    takes whatever rows the first partitions yield. Size `n_centroids`
+    ~sqrt(corpus rows) at scale so probe cells stay balanced."""
     sample = np.array(
-        [r[0] for r in df.select(vec_col).limit(sample_rows).collect()],
+        [
+            r[0]
+            for r in df.select(vec_col)
+            .orderBy(F.xxhash64(F.col(vec_col)))
+            .limit(sample_rows)
+            .collect()
+        ],
         dtype=np.float64,
     )
     sample /= np.linalg.norm(sample, axis=1, keepdims=True) + 1e-12
@@ -159,8 +171,9 @@ def cosine_topk_lsh(
     seed: int = 42,
 ) -> DataFrame:
     """LSH-bucketed variant: corpus hashed once; each query probes its own
-    bucket plus all 1-bit-flip neighbors (multi-probe)."""
-    dim = len(df.select(vec_col).first()[0])
+    bucket plus all 1-bit-flip neighbors (multi-probe). The plane dim
+    comes from the query vectors — no driver job against the corpus."""
+    dim = len(queries[0][1])
     planes = _plane_buckets(n_planes, dim, seed)
 
     def bucket(vecs: pd.Series) -> pd.Series:

@@ -304,7 +304,8 @@ def embedding_neardup_pairs(
 
     LSH bucket = sign bits against `n_planes` fixed random hyperplanes
     (deterministic seed); exact cosine verified JVM-side with
-    zip_with + aggregate."""
+    zip_with + aggregate. Pass `dim` explicitly at scale — the
+    `first()` fallback costs a driver job against the corpus."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     rng = np.random.Generator(np.random.PCG64(seed))
