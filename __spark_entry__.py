@@ -418,7 +418,222 @@ def q_emb_norms(spark, sf_dir):
     return emb.select("vec_id", F.round(F.sqrt(dot), 6).alias("l2_norm"))
 
 
+def q_j2_relation_resolve(spark, sf_dir):
+    """J2 (mod.rs:49-75): recursive relation resolution over a synthetic
+    3-level relation forest + a 2-cycle, derived deterministically from
+    orders/customer. The engine runs the real member recursion with
+    per-level convex hulls and the cycle guard; the digest is the
+    SQL-mirrorable part — per-relation bbox of the resolved coords (a
+    convex hull preserves coordinate extremes, so a traversal error or a
+    broken cycle guard shifts the bbox or drops rows)."""
+    from osm_pbf2json_spark.operators.resolve import (
+        resolve_relation_coords,
+        resolve_way_coords,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nodes = cust.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") % 97) * F.lit(0.1)).alias("lon"),
+        ((F.col("c_custkey") % 89) * F.lit(0.1)).alias("lat"),
+    )
+    ways = orders.select(
+        (F.col("o_orderkey") + F.lit(1000000)).alias("id"),
+        F.array(
+            F.col("o_custkey"),
+            (F.col("o_custkey") % 100) + 1,
+            ((F.col("o_custkey") * 7) % 100) + 1,
+        ).alias("refs"),
+    )
+    way_coords = resolve_way_coords(ways, nodes)
+    # level 1: ways grouped by o_custkey % 200
+    rel1 = (
+        orders.groupBy((F.col("o_custkey") % 200).alias("g"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("o_orderkey")),
+                lambda ok: F.struct(
+                    F.lit("way").alias("mtype"), (ok + 1000000).alias("mid")
+                ),
+            ).alias("members")
+        )
+        .select((F.col("g") + 2000000).alias("id"), "members")
+    )
+    # level 2: level-1 relations grouped by g % 20, plus one node member
+    rel2 = (
+        rel1.groupBy(((F.col("id") - 2000000) % 20).alias("h"))
+        .agg(F.array_sort(F.collect_list("id")).alias("kids"))
+        .select(
+            (F.col("h") + 3000000).alias("id"),
+            F.concat(
+                F.transform(
+                    "kids",
+                    lambda kid: F.struct(
+                        F.lit("relation").alias("mtype"), kid.alias("mid")
+                    ),
+                ),
+                F.array(
+                    F.struct(
+                        F.lit("node").alias("mtype"),
+                        (F.col("h") + 1).cast("long").alias("mid"),
+                    )
+                ),
+            ).alias("members"),
+        )
+    )
+    cyc = spark.createDataFrame(
+        [
+            (4000001, [("relation", 4000002), ("node", 1)]),
+            (4000002, [("relation", 4000001), ("node", 2)]),
+        ],
+        "id long, members array<struct<mtype string, mid long>>",
+    )
+    rels = rel1.unionByName(rel2).unionByName(cyc)
+    out = resolve_relation_coords(rels, way_coords, nodes)
+    return out.select(
+        "id",
+        F.round(F.array_min(F.transform("coords", lambda c: c["lon"])), 6).alias("w"),
+        F.round(F.array_min(F.transform("coords", lambda c: c["lat"])), 6).alias("s"),
+        F.round(F.array_max(F.transform("coords", lambda c: c["lon"])), 6).alias("e"),
+        F.round(F.array_max(F.transform("coords", lambda c: c["lat"])), 6).alias("n"),
+    )
+
+
+def q_boundaries_e2e(spark, sf_dir):
+    """boundaries() end-to-end (F6→S2→A10→C2) at generator scale: ~300
+    synthetic square admin relations (4 member ways each, one reversed so
+    ring stitching must handle direction) assembled into multipolygons.
+    Digest = the SQL-mirrorable surface: name/level/bbox/polygon-count —
+    a failed stitch drops the row, a bad assembly shifts the bbox."""
+    from osm_pbf2json_spark.operators.boundaries import boundaries
+    from osm_pbf2json_spark.operators.closure import EntityTables
+
+    orders = _t(spark, sf_dir, "orders")
+    bids = orders.select((F.col("o_custkey") % 300).alias("bid")).distinct()
+    x0 = (F.col("bid") % 50).cast("double")
+    y0 = F.floor(F.col("bid") / 50).cast("double")
+
+    corners = bids.select("bid", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("c"))
+    nodes = corners.select(
+        (F.lit(5000000) + F.col("bid") * 4 + F.col("c")).alias("id"),
+        (F.floor(F.col("bid") / 50).cast("double")
+         + F.when(F.col("c").isin(2, 3), F.lit(0.9)).otherwise(F.lit(0.0))).alias("lat"),
+        ((F.col("bid") % 50).cast("double")
+         + F.when(F.col("c").isin(1, 2), F.lit(0.9)).otherwise(F.lit(0.0))).alias("lon"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+
+    edges = bids.select("bid", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("e"))
+
+    def node_id(corner):
+        return F.lit(5000000) + F.col("bid") * 4 + corner
+
+    fwd = F.array(node_id(F.col("e")), node_id((F.col("e") + 1) % 4))
+    rev = F.array(node_id((F.col("e") + 1) % 4), node_id(F.col("e")))
+    ways = edges.select(
+        (F.lit(6000000) + F.col("bid") * 4 + F.col("e")).alias("id"),
+        F.when(F.col("e") == 2, rev).otherwise(fwd).alias("refs"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+
+    rels = bids.select(
+        (F.lit(7000000) + F.col("bid")).alias("id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(3)),
+            lambda e: F.struct(
+                F.lit("way").alias("mtype"),
+                (F.lit(6000000) + F.col("bid") * 4 + e).cast("bigint").alias("mid"),
+                F.lit("outer").alias("role"),
+            ),
+        ).alias("members"),
+        F.create_map(
+            F.lit("boundary"), F.lit("administrative"),
+            F.lit("admin_level"), F.lit("8"),
+            F.lit("name"),
+            F.concat(F.lit("B"), F.lpad(F.col("bid").cast("string"), 3, "0")),
+        ).alias("tags"),
+    )
+    out = boundaries(EntityTables(nodes, ways, rels), [8])
+    return out.select(
+        "relation_id",
+        "name",
+        "admin_level",
+        F.round("sw_lon", 6).alias("sw_lon"),
+        F.round("sw_lat", 6).alias("sw_lat"),
+        F.round("ne_lon", 6).alias("ne_lon"),
+        F.round("ne_lat", 6).alias("ne_lat"),
+        F.size("polygons").alias("n_polys"),
+    )
+
+
 # --- rows-only entries (non-SQL-expressible; stronger checks in pytest) -----
+
+
+def q_streets_e2e(spark, sf_dir):
+    """streets() end-to-end (F5→S2→J1→A1-A5) at generator scale: ways from
+    orders (refs = their lineitem point nodes, names shared across 50
+    groups so clustering must both merge and split components). Rows-only:
+    the union-find component structure isn't SQL-expressible; stability
+    across runs is pinned in pytest."""
+    from osm_pbf2json_spark.operators.closure import EntityTables
+    from osm_pbf2json_spark.operators.streets import streets
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    # Geometry: each way (order) is a SHORT localized polyline — anchored
+    # at a grid cell derived from its orderkey, with per-node offsets from
+    # linenumber/partkey — so same-name ways cluster only when anchors
+    # coincide (realistic street shapes; a way spanning the whole extent
+    # would blow up the union-find grid the way no real street does).
+    # Duplicate (orderkey, linenumber) pairs exist in the synth data —
+    # aggregate to one deterministic coord per node id.
+    nodes = (
+        li.groupBy((F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"))
+        .agg(
+            F.min(
+                (F.floor(F.col("l_orderkey") / 100) % 100) * F.lit(0.1)
+                + (F.col("l_partkey") % 10) * F.lit(0.001)
+            ).alias("lat"),
+            F.min(
+                (F.col("l_orderkey") % 100) * F.lit(0.1)
+                + F.col("l_linenumber") * F.lit(0.001)
+            ).alias("lon"),
+        )
+        .withColumn("tags", F.create_map().cast("map<string,string>"))
+    )
+    refs = li.groupBy(F.col("l_orderkey").alias("id")).agg(
+        F.array_sort(
+            F.collect_set(F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        ).alias("refs")
+    )
+    hw_values = ["primary", "secondary", "tertiary", "residential",
+                 "service", "living_street", "pedestrian"]
+    ways = refs.join(
+        orders.select(F.col("o_orderkey").alias("id"), "o_custkey"), "id"
+    ).select(
+        "id",
+        "refs",
+        F.create_map(
+            F.lit("highway"),
+            F.element_at(
+                F.array(*[F.lit(v) for v in hw_values]),
+                (F.col("id") % 7 + 1).cast("int"),
+            ),
+            F.lit("name"),
+            F.concat(F.lit("Street "), (F.col("o_custkey") % 50).cast("string")),
+        ).alias("tags"),
+    )
+    rels = spark.createDataFrame(
+        [], "id long, members array<struct<mtype:string,mid:bigint,role:string>>, "
+            "tags map<string,string>"
+    )
+    out = streets(EntityTables(nodes, ways, rels))
+    return out.select(
+        "id", "name",
+        F.round("length", 6).alias("length"),
+        F.size("segments").alias("n_segments"),
+    )
 
 
 def q_minhash_lsh(spark, sf_dir):
@@ -507,7 +722,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f1_filter_dsl": q_f1_filter_dsl,
         "f5_prefilter": q_f5_prefilter,
         "j1_ordered_resolution": q_j1_ordered_resolution,
+        "j2_relation_resolve": q_j2_relation_resolve,
         "s2_closure": q_s2_closure,
+        "boundaries_e2e": q_boundaries_e2e,
         "o2_pair_dedup": q_o2_pair_dedup,
         "a3_xor_id": q_a3_xor_id,
         "a6_bounds": q_a6_bounds,
@@ -539,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "winnow_fingerprints": q_winnow_fingerprints,
         "ann_ivf": q_ann_ivf,
+        "streets_e2e": q_streets_e2e,
     }
 
 
@@ -599,6 +817,55 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY l_linenumber, l_partkey) AS refs_csv,
                    count(*) AS n_refs
             FROM lineitem GROUP BY l_orderkey
+        """,
+        "j2_relation_resolve": """
+            WITH nodes AS (
+              SELECT c_custkey AS id,
+                     (c_custkey % 97) * CAST(0.1 AS DOUBLE) AS lon,
+                     (c_custkey % 89) * CAST(0.1 AS DOUBLE) AS lat
+              FROM customer),
+            wayrefs AS (
+              SELECT o_custkey % 200 AS g, o_custkey AS ref FROM orders
+              UNION ALL SELECT o_custkey % 200, (o_custkey % 100) + 1 FROM orders
+              UNION ALL SELECT o_custkey % 200, ((o_custkey * 7) % 100) + 1 FROM orders),
+            waypts AS (SELECT w.g, n.lon, n.lat
+                       FROM wayrefs w JOIN nodes n ON w.ref = n.id),
+            rel1_box AS (
+              SELECT 2000000 + g AS id, min(lon) AS w, min(lat) AS s,
+                     max(lon) AS e, max(lat) AS n
+              FROM waypts GROUP BY g),
+            rel2_box AS (
+              SELECT id, min(w) AS w, min(s) AS s, max(e) AS e, max(n) AS n
+              FROM (
+                SELECT 3000000 + ((id - 2000000) % 20) AS id, w, s, e, n
+                FROM rel1_box
+                UNION ALL
+                SELECT 3000000 + hs.h AS id, n2.lon, n2.lat, n2.lon, n2.lat
+                FROM (SELECT DISTINCT (id - 2000000) % 20 AS h FROM rel1_box) hs
+                JOIN nodes n2 ON n2.id = hs.h + 1
+              ) u GROUP BY id),
+            cyc AS (
+              SELECT 4000001 AS id, lon AS w, lat AS s, lon AS e, lat AS n
+              FROM nodes WHERE id = 1
+              UNION ALL
+              SELECT 4000002, lon, lat, lon, lat FROM nodes WHERE id = 2)
+            SELECT id, round(w, 6) AS w, round(s, 6) AS s,
+                   round(e, 6) AS e, round(n, 6) AS n
+            FROM (SELECT * FROM rel1_box
+                  UNION ALL SELECT * FROM rel2_box
+                  UNION ALL SELECT * FROM cyc) allrel
+        """,
+        "boundaries_e2e": """
+            WITH bids AS (SELECT DISTINCT o_custkey % 300 AS bid FROM orders)
+            SELECT 7000000 + bid AS relation_id,
+                   'B' || lpad(CAST(bid AS VARCHAR), 3, '0') AS name,
+                   8 AS admin_level,
+                   round(CAST(bid % 50 AS DOUBLE), 6) AS sw_lon,
+                   round(CAST(bid // 50 AS DOUBLE), 6) AS sw_lat,
+                   round(CAST(bid % 50 AS DOUBLE) + CAST(0.9 AS DOUBLE), 6) AS ne_lon,
+                   round(CAST(bid // 50 AS DOUBLE) + CAST(0.9 AS DOUBLE), 6) AS ne_lat,
+                   1 AS n_polys
+            FROM bids
         """,
         "s2_closure": """
             SELECT n.n_name AS n_name, CAST(count(*) AS BIGINT) AS n_customers

@@ -74,3 +74,25 @@ def test_district_assignment_is_deterministic(spark, wilhelmstrasse):
     a = {r["url"]: r["district"] for r in pip_join_broadcast(geo, brows, out_col="district").collect()}
     b = {r["url"]: r["district"] for r in pip_join_broadcast(geo, brows, out_col="district").collect()}
     assert a == b and len(a) == 120
+
+
+def test_driver_e2e_entries_stable(spark):
+    """streets_e2e is a rows-only driver entry: its digest must be
+    identical across two runs; boundaries_e2e squares must assemble."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(tuple(r) for r in E.q_streets_e2e(spark, sf).collect())
+    b = sorted(tuple(r) for r in E.q_streets_e2e(spark, sf).collect())
+    assert a == b and len(a) > 500
+
+    bd = E.q_boundaries_e2e(spark, sf).collect()
+    assert len(bd) > 100
+    for r in bd:
+        assert r["n_polys"] == 1
+        assert abs((r["ne_lon"] - r["sw_lon"]) - 0.9) < 1e-9
+        assert abs((r["ne_lat"] - r["sw_lat"]) - 0.9) < 1e-9
+
+    j2 = E.q_j2_relation_resolve(spark, sf).collect()
+    # level-1 groups + level-2 parents + the 2-cycle, all resolved
+    assert len(j2) > 100 and all(r["w"] is not None for r in j2)
