@@ -272,7 +272,7 @@ def q_j5b_pip_cells(spark, sf_dir):
         ],
         "key string, polygons array<array<array<struct<lon:double,lat:double>>>>",
     )
-    out = spatial.pip_join_cells(pts, polys, level=8)
+    out = spatial.pip_join_cells(pts, polys, level=10)
     return out.select("point_id", F.col("key").alias("polygon_key"))
 
 

@@ -92,7 +92,33 @@ BENCH_QUERIES = {
     ),
     "ann_cosine_topk": E.q_ann_cosine_topk,
     "tile_histogram": E.q_tile_histogram,
+    # large×large PIP path (cell equi-join + vectorized refine)
+    "pip_cells": E.q_j5b_pip_cells,
 }
+
+
+def _prev_round_queries() -> dict | None:
+    """Latest committed BENCH_r*.json — makes round-over-round regressions
+    visible directly in this round's output line."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best_n, best = -1, None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m:
+            continue
+        try:
+            with open(p) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        # driver wraps the bench line under "parsed"
+        q = data.get("queries") or (data.get("parsed") or {}).get("queries")
+        if q and int(m.group(1)) > best_n:
+            best_n, best = int(m.group(1)), q
+    return best
 
 
 def main():
@@ -131,21 +157,24 @@ def main():
 
     flagship_sec = timings.get("flagship_pip_tile")
     value = round(input_rows / flagship_sec, 1) if flagship_sec else 0.0
-    print(
-        json.dumps(
-            {
-                "metric": "spatial_join_tile_assign_rows_per_sec",
-                "value": value,
-                "unit": "rows/sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cpus": CPUS,
-                "input_rows": input_rows,
-                "mult": MULT,
-                "n_polygons": len(GRID_POLYGONS),
-            }
-        )
-    )
+    prev = _prev_round_queries()
+    out = {
+        "metric": "spatial_join_tile_assign_rows_per_sec",
+        "value": value,
+        "unit": "rows/sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": CPUS,
+        "input_rows": input_rows,
+        "mult": MULT,
+        "n_polygons": len(GRID_POLYGONS),
+    }
+    if prev:
+        out["prev_queries"] = prev
+        out["speedup_vs_prev"] = {
+            k: round(prev[k] / v, 2) for k, v in timings.items() if prev.get(k)
+        }
+    print(json.dumps(out))
     spark.stop()
 
 

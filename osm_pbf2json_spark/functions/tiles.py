@@ -177,10 +177,14 @@ def quad_covering_bbox(
     lon_max: float,
     lat_max: float,
     level: int,
-    max_cells: int = 256,
+    max_cells: int | None = 256,
 ) -> np.ndarray:
     """Cells covering a bbox at `level`, coarsening until ≤ max_cells
-    (adaptive covering in the S2 spirit)."""
+    (adaptive covering in the S2 spirit). Cell ids embed their level, so
+    an adapted covering does NOT equi-join with fixed-level cells — pass
+    max_cells=None for an exact-level covering (cell equi-join plans)."""
+    if max_cells is None:
+        max_cells = 1 << 62
     while level > 0:
         n = 1 << level
         sx = (_WORLD[2] - _WORLD[0]) / n

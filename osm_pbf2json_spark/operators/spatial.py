@@ -193,7 +193,15 @@ def pip_join_cells(
     lat_col: str = "lat",
 ) -> DataFrame:
     """points(id,lon,lat) × polygons(key, polygons nested array) → matches
-    (point id, polygon key). Cell equi-join (filter) + exact PIP (refine)."""
+    (point id, polygon key). Cell equi-join (filter) + exact PIP (refine).
+
+    `level` is the single shared grid level: points take their level-cell,
+    polygons their EXACT-level bbox covering (never silently coarsened —
+    adapted coverings carry a different level in the cell id and would
+    equi-join to nothing). Choose `level` so the largest polygon's
+    covering stays bounded: cost grows with (polygon_extent/cell_size)²
+    per polygon row, while a coarser level only adds refine candidates,
+    never wrong results."""
 
     cell_of_point = F.pandas_udf(
         lambda lon, lat: pd.Series(T.quad_cell(lon.to_numpy(), lat.to_numpy(), level)),
@@ -208,7 +216,8 @@ def pip_join_cells(
                 dtype=np.float64,
             ).reshape(-1, 2)
             cells = T.quad_covering_bbox(
-                pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max(), level
+                pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max(),
+                level, max_cells=None,
             )
             out.append(cells.tolist())
         return pd.Series(out)
@@ -341,8 +350,11 @@ def assign_tiles(
                     pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max(), res
                 )
             else:
+                # exact-level covering: tile ids embed the level, and the
+                # inverse/point joins assume one shared level
                 cells = T.quad_covering_bbox(
-                    pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max(), res
+                    pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max(),
+                    res, max_cells=None,
                 )
             out.append(cells.tolist())
         return pd.Series(out)

@@ -171,3 +171,20 @@ def test_pip_join_cells_refine_not_per_row():
 
     src = inspect.getsource(S.pip_join_cells)
     assert "iterrows" not in src
+
+
+def test_pip_join_cells_level_consistent(spark):
+    """Regression: at fine levels the polygon covering must stay at the
+    REQUESTED level (cell ids embed their level) — an adapted/coarsened
+    covering equi-joins to nothing and silently returns zero rows."""
+    polys = spark.createDataFrame(
+        [
+            ("A", [[[{"lon": x, "lat": y} for x, y in SQUARE_A["polygons"][0][0]]]]),
+            ("B", [[[{"lon": x, "lat": y} for x, y in SQUARE_B["polygons"][0][0]]]]),
+        ],
+        "key string, polygons array<array<array<struct<lon:double,lat:double>>>>",
+    )
+    want = {(1, "A"), (2, "B"), (4, "A")}
+    for level in (8, 12, 14):
+        got = {(r["id"], r["key"]) for r in S.pip_join_cells(_points(spark), polys, level=level).collect()}
+        assert got == want, f"level {level} mismatch: {got}"
