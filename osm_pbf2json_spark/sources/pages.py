@@ -95,3 +95,14 @@ def attach_page_geo(pages: DataFrame, nodes: DataFrame) -> DataFrame:
         "lat",
         "lon",
     )
+
+
+def load_pages(spark, source: str) -> DataFrame:
+    """Catalog seam: `source` is a filesystem path (read as parquet) or a
+    catalog table name (`spark.table`). The production entry point is an
+    Iceberg catalog table (SURVEY.md §1.3); the sandbox uses parquet paths
+    — everything downstream of this call is identical, which
+    tests/test_graft_ops.py pins by running both seams over one dataset."""
+    if "/" in source or source.endswith(".parquet"):
+        return spark.read.parquet(source)
+    return spark.table(source)

@@ -238,3 +238,28 @@ def test_lineage_restart(spark, tmp_path):
     assert len(recs3) == 1
     total = spark.read.parquet(out_dir + "/part=*").count()
     assert total == 100
+
+
+def test_catalog_table_seam(spark, tmp_path):
+    """spark.table() and spark.read.parquet() must be interchangeable
+    entry points (Iceberg-catalog seam, SURVEY.md §1.3): same rows, same
+    extracted text, through load_pages."""
+    from osm_pbf2json_spark.sources.fixtures import synth_pages
+    from osm_pbf2json_spark.sources.pages import extract_text, load_pages
+
+    pages = synth_pages(spark, 50)
+    loc = str(tmp_path / "pages_tbl")
+    pages.write.parquet(loc)
+    spark.sql(f"CREATE TABLE pages_seam USING parquet LOCATION '{loc}'")
+    try:
+        a = sorted(
+            (r["url"], r["text_extracted"])
+            for r in extract_text(load_pages(spark, "pages_seam")).collect()
+        )
+        b = sorted(
+            (r["url"], r["text_extracted"])
+            for r in extract_text(load_pages(spark, loc)).collect()
+        )
+        assert a == b and len(a) == 50
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pages_seam")

@@ -57,3 +57,38 @@ def test_filter_dsl_is_codegen(spark, sf_dir):
     df = E.q_f1_filter_dsl(spark, sf_dir)
     plan = _plan(df)
     assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_knn_plan_is_jvm_only_and_broadcast(spark, sf_dir):
+    """knn_join must keep the corpus JVM-side (planar Catalyst tiles, no
+    Python) and join the broadcast query-cell list, never crossJoin."""
+    pts = E._points(spark, sf_dir).withColumnRenamed("point_id", "id")
+    df = spatial.knn_join(pts, E.KNN_QUERIES, k=5, res=6)
+    plan = _plan(df)
+    assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pip_cells_candidate_join_is_hash_join(spark, sf_dir):
+    """pip_join_cells' filter stage must plan as a cell equi-join (hash or
+    sort-merge), never a cartesian/nested-loop."""
+    pts = E._points(spark, sf_dir)
+    polys = spark.createDataFrame(
+        [("A", [[[{"lon": x, "lat": y} for x, y in E.POLY_A + E.POLY_A[:1]]]])],
+        "key string, polygons array<array<array<struct<lon:double,lat:double>>>>",
+    )
+    plan = _plan(spatial.pip_join_cells(pts, polys, level=10))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+
+
+def test_salted_join_is_deterministic_expression(spark):
+    """Retry safety: the large-side salt must not contain nondeterministic
+    expressions (monotonically_increasing_id / rand)."""
+    from osm_pbf2json_spark.plans.partitioning import salted_join
+
+    large = spark.createDataFrame([(i % 5, i) for i in range(100)], "k int, v long")
+    small = spark.createDataFrame([(i, f"d{i}") for i in range(5)], "k int, name string")
+    plan = _plan(salted_join(large, small, "k", salt=4))
+    assert "monotonically" not in plan and "rand(" not in plan
