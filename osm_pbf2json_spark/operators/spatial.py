@@ -259,6 +259,15 @@ def pip_join_cells(
 # --- Catalyst-only bbox join --------------------------------------------------
 
 
+_CELL_OFF = 1 << 20  # planar cell ids stay positive for any earthly coord
+
+
+def _cell_id(cx, cy):
+    """(cx, cy) → single long — long join keys hash/compare much faster
+    than struct keys in codegen."""
+    return (cx + F.lit(_CELL_OFF)) * F.lit(1 << 21) + (cy + F.lit(_CELL_OFF))
+
+
 def _bbox_cells(x0, y0, x1, y1, pad: float, cell: float):
     """Covering cell ids of a padded bbox as a pure Catalyst expression."""
     cx0 = F.floor((x0 - pad) / cell).cast("long")
@@ -268,9 +277,7 @@ def _bbox_cells(x0, y0, x1, y1, pad: float, cell: float):
     return F.flatten(
         F.transform(
             F.sequence(cx0, cx1),
-            lambda cx: F.transform(
-                F.sequence(cy0, cy1), lambda cy: F.struct(cx.alias("cx"), cy.alias("cy"))
-            ),
+            lambda cx: F.transform(F.sequence(cy0, cy1), lambda cy: _cell_id(cx, cy)),
         )
     )
 
@@ -284,7 +291,11 @@ def bbox_self_join(
     """All pairs (a<b) whose bboxes overlap within `pad` — the distributed
     form of J6 (streets.rs:125-141), 100% whole-stage codegen.
 
-    boxes: (id, x0, y0, x1, y1). Returns (a, b) canonical pairs, deduped.
+    boxes: (id, x0, y0, x1, y1). Returns (a, b) canonical pairs, deduped
+    by the REFERENCE-POINT method: a pair spanning several shared cells is
+    emitted only from the cell containing the min corner of its overlap
+    region — a pure codegen predicate, so no distinct() shuffle of the
+    pair set is ever needed.
     """
     withc = boxes.withColumn(
         "_cell", F.explode(_bbox_cells(F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"), pad, cell))
@@ -301,6 +312,11 @@ def bbox_self_join(
         F.col("x1").alias("bx1"), F.col("y1").alias("by1"),
         "_cell",
     )
+    # reference point = min corner of the (padded-a × b) overlap region;
+    # it lies inside both sides' padded bboxes, so both coverings contain
+    # its cell — emitting the pair only there replaces distinct()
+    rx = F.greatest(F.col("ax0") - pad, F.col("bx0"))
+    ry = F.greatest(F.col("ay0") - pad, F.col("by0"))
     pairs = (
         l.join(r, "_cell")
         .filter(F.col("a") < F.col("b"))
@@ -310,8 +326,11 @@ def bbox_self_join(
             & (F.col("ay0") - pad <= F.col("by1"))
             & (F.col("ay1") + pad >= F.col("by0"))
         )
+        .filter(
+            _cell_id(F.floor(rx / cell).cast("long"), F.floor(ry / cell).cast("long"))
+            == F.col("_cell")
+        )
         .select("a", "b")
-        .distinct()
     )
     return pairs
 
