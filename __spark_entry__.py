@@ -385,6 +385,15 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over near-dup pairs (iterative hash-to-min
+    label propagation) — cluster_id = component min id. Oracle: DuckDB
+    recursive-CTE transitive closure over the same pair set."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.35, n=3).select("a", "b")
+    return dedup.dedup_clusters(pairs)
+
+
 def q_text_stats(spark, sf_dir):
     """Token counting + quality features (pure Column expressions)."""
     docs = _t(spark, sf_dir, "documents")
@@ -741,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1018,6 +1028,35 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes sa ON inter.a = sa.doc_id
                        JOIN sizes sb ON inter.b = sb.doc_id
             WHERE CAST(ni AS DOUBLE) / (sa.sz + sb.sz - ni) >= 0.35
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE
+            norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+            w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(ws[i:i+2], ' ') AS s
+              FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS u(i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS ni
+              FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
+              GROUP BY l.doc_id, r.doc_id),
+            pairs AS (
+              SELECT a, b FROM inter
+              JOIN sizes sa ON inter.a = sa.doc_id
+              JOIN sizes sb ON inter.b = sb.doc_id
+              WHERE CAST(ni AS DOUBLE) / (sa.sz + sb.sz - ni) >= 0.35),
+            edges AS (SELECT a AS x, b AS y FROM pairs
+                      UNION SELECT b, a FROM pairs),
+            reach(x, y) AS (
+              SELECT x, y FROM edges
+              UNION
+              SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+            )
+            SELECT x AS id, least(x, min(y)) AS cluster_id
+            FROM reach GROUP BY x
         """,
         "text_stats": """
             SELECT doc_id,

@@ -213,6 +213,64 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_rounds: int = 32,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (id, cluster_id), with
+    cluster_id = the component's min doc id (the canonical survivor) —
+    the step every dedup pipeline needs after pair generation, since
+    near-dup relations are not transitive pair-wise.
+
+    Iterative hash-to-min label propagation: each round every node adopts
+    the min label among itself and its neighbors — one shuffle per round
+    over the (node, label) table, lineage pinned with localCheckpoint so
+    round k never replans rounds 1..k-1. Converges in O(component
+    diameter) rounds; near-dup clusters are shallow (dup chains, not long
+    paths), so the bound is single digits in practice and `max_rounds`
+    is a safety rail, not a tuning knob.
+    """
+    e = pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+    edges = (
+        e.unionByName(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select("x")
+        .distinct()
+        .select(F.col("x").alias("id"), F.col("x").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        neigh = (
+            edges.join(labels.select(F.col("id").alias("y"), "label"), "y")
+            .groupBy("x")
+            .agg(F.min("label").alias("nlabel"))
+            .select(F.col("x").alias("id"), "nlabel")
+        )
+        updated = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least("label", F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("u.label") != F.col("l.label"))
+        )
+        stable = changed.isEmpty()
+        labels = updated
+        if stable:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, simhash long): 64-bit sign-sum fingerprint.
 

@@ -263,3 +263,40 @@ def test_catalog_table_seam(spark, tmp_path):
         assert a == b and len(a) == 50
     finally:
         spark.sql("DROP TABLE IF EXISTS pages_seam")
+
+
+def test_dedup_clusters_connected_components(spark):
+    """Chains, triangles, isolated pairs: cluster_id = component min id,
+    checked against a brute-force flood fill."""
+    from osm_pbf2json_spark.operators.dedup import dedup_clusters
+
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5),        # chain -> all label 1
+        (10, 11), (11, 12), (10, 12),          # triangle -> label 10
+        (20, 21),                              # pair -> label 20
+        (30, 31), (32, 31), (33, 30), (34, 33) # star-ish chain -> 30
+    ]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    got = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+
+    # brute-force flood fill
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    seen = set()
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        comp, stack = set(), [start]
+        while stack:
+            v = stack.pop()
+            if v in comp:
+                continue
+            comp.add(v)
+            stack.extend(adj[v] - comp)
+        for v in comp:
+            want[v] = min(comp)
+        seen |= comp
+    assert got == want
