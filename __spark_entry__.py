@@ -34,7 +34,7 @@ from osm_pbf2json_spark.functions.text import (  # noqa: E402
     token_count,
     winnowing_fingerprints,
 )
-from osm_pbf2json_spark.operators import ann, dedup, spatial  # noqa: E402
+from osm_pbf2json_spark.operators import ann, corpus, dedup, spatial  # noqa: E402
 
 # ---------------------------------------------------------------------------
 # shared derivations
@@ -405,6 +405,19 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Per-doc top-5 tf-idf terms (two map-side-combined aggs + broadcast
+    corpus size + window top-k, all Catalyst)."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.tfidf_top_terms(docs, k=5)
+
+
+def q_source_stats(spark, sf_dir):
+    """Per-source corpus triage: volume, exact-dup rate, token mass."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.source_stats(docs)
+
+
 def q_lang_id(spark, sf_dir):
     """Stopword-vote language id."""
     docs = _t(spark, sf_dir, "documents")
@@ -753,6 +766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
+        "tfidf_topk": q_tfidf_topk,
+        "source_stats": q_source_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
         "emb_norms": q_emb_norms,
         # rows-only (no SQL equivalent): minhash/simhash internals, engine
@@ -1069,6 +1084,40 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "lang_id": _stopword_sql_case(),
+        "tfidf_topk": f"""
+            WITH toks AS (
+              SELECT doc_id, term FROM (
+                SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+                FROM documents) t
+              WHERE term <> ''),
+            tf AS (SELECT doc_id AS id, term, count(*) AS tf
+                   FROM toks GROUP BY doc_id, term),
+            dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            nd AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.id, tf.term, tf.tf,
+                     tf.tf * (ln(CAST(nd.n_docs + 1 AS DOUBLE)
+                                 / CAST(dfq.df + 1 AS DOUBLE)) + 1.0) AS tfidf
+              FROM tf JOIN dfq USING (term) CROSS JOIN nd)
+            SELECT id, term, tf, round(tfidf, 6) AS tfidf,
+                   row_number() OVER (PARTITION BY id
+                                      ORDER BY tfidf DESC, term) AS rank
+            FROM scored QUALIFY rank <= 5
+        """,
+        "source_stats": f"""
+            WITH n AS (SELECT source, lang, {_NORM_SQL} AS norm,
+                              len(list_filter(regexp_split_to_array(lower(text),
+                                  '\\s+'), x -> x <> '')) AS n_toks
+                       FROM documents)
+            SELECT source, count(*) AS n_docs,
+                   count(DISTINCT norm) AS n_unique,
+                   round(CAST(1 AS DOUBLE)
+                         - CAST(count(DISTINCT norm) AS DOUBLE) / count(*), 6)
+                     AS dup_rate,
+                   round(avg(n_toks), 6) AS avg_tokens,
+                   count(DISTINCT lang) AS n_langs
+            FROM n GROUP BY source
+        """,
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
             s AS (

@@ -300,3 +300,37 @@ def test_dedup_clusters_connected_components(spark):
             want[v] = min(comp)
         seen |= comp
     assert got == want
+
+
+def test_tfidf_top_terms_properties(spark):
+    """Rare terms must outrank ubiquitous ones; rank is deterministic."""
+    from osm_pbf2json_spark.operators.corpus import tfidf_top_terms
+
+    rows = [
+        (1, "common common common rare"),
+        (2, "common common other words"),
+        (3, "common filler filler text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_top_terms(docs, k=2).collect()
+    top1 = {r["id"]: r["term"] for r in out if r["rank"] == 1}
+    # 'common' appears in every doc (idf floor); doc 1's rare term wins
+    assert top1[1] == "rare"
+    assert all(r["tfidf"] > 0 for r in out)
+
+
+def test_source_stats_dup_rate(spark):
+    from osm_pbf2json_spark.operators.corpus import source_stats
+
+    rows = [
+        (1, "alpha beta", "en", "s1"),
+        (2, "alpha beta", "en", "s1"),   # exact dup of 1
+        (3, "gamma delta", "de", "s1"),
+        (4, "unique text", "en", "s2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    got = {r["source"]: r for r in source_stats(docs).collect()}
+    assert got["s1"]["n_docs"] == 3 and got["s1"]["n_unique"] == 2
+    assert abs(got["s1"]["dup_rate"] - (1 - 2 / 3)) < 1e-6
+    assert got["s1"]["n_langs"] == 2
+    assert got["s2"]["dup_rate"] == 0.0
