@@ -307,14 +307,14 @@ def test_tfidf_top_terms_properties(spark):
     from osm_pbf2json_spark.operators.corpus import tfidf_top_terms
 
     rows = [
-        (1, "common common common rare"),
-        (2, "common common other words"),
-        (3, "common filler filler text"),
+        (1, "common rare"),
+        (2, "common other words"),
+        (3, "common filler text"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = tfidf_top_terms(docs, k=2).collect()
     top1 = {r["id"]: r["term"] for r in out if r["rank"] == 1}
-    # 'common' appears in every doc (idf floor); doc 1's rare term wins
+    # equal tf: the rare term's idf beats the every-doc term's idf floor
     assert top1[1] == "rare"
     assert all(r["tfidf"] > 0 for r in out)
 
