@@ -63,3 +63,35 @@ def test_streaming_pip_flags(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["id"]: r["polygon_key"] for r in spark.sql("select * from pip_flags").collect()}
     assert got == {1: "A", 2: None}
+
+
+def test_streaming_dedup(spark, tmp_path):
+    from osm_pbf2json_spark.streaming.tiles_stream import streaming_dedup
+
+    src = str(tmp_path / "dsrc")
+    os.makedirs(src)
+    batch = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:01", 1, "alpha beta"),
+            ("2024-01-01 00:00:02", 2, "ALPHA   beta!"),  # same fingerprint as 1
+            ("2024-01-01 00:00:03", 3, "gamma delta"),
+            ("2024-01-01 00:00:04", 4, "alpha beta"),      # dup again
+        ],
+        "ts_s string, doc_id long, text string",
+    ).select(F.to_timestamp("ts_s").alias("ts"), "doc_id", "text")
+    batch.write.parquet(src, mode="overwrite")
+
+    stream = spark.readStream.schema("ts timestamp, doc_id long, text string").parquet(src)
+    q = (
+        streaming_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from dedup_stream").collect()
+    # one survivor per distinct normalized text
+    texts = sorted({r["text"].lower().replace("!", "").split()[0] for r in rows})
+    assert len(rows) == 2 and texts == ["alpha", "gamma"]
