@@ -401,3 +401,49 @@ def assemble_multipolygon(outer_rings, inner_rings):
                 poly.append(hole)
                 break
     return polys
+
+
+# --- Catalyst-native PIP (Column expression) ----------------------------------
+
+
+def pip_contains_col(px, py, polygons):
+    """MultiPolygon contains-point as a PURE Catalyst expression — the
+    whole-stage-codegen twin of `points_in_polygons` (identical ray-cast
+    conventions: strict `y0 > py != y1 > py` edge straddle, strict
+    `px < xint` crossing), for plans where the polygon column rides the
+    rows and a Python kernel would be the only non-JVM stage.
+
+    `polygons`: Column of array<array<array<struct<lon,lat>>>> (polygons →
+    rings → points; ring 0 = exterior, rest holes). Double division by a
+    zero dy yields ±Inf exactly like the numpy kernel's masked divide —
+    the straddle conjunct is false for horizontal edges either way.
+    """
+    import pyspark.sql.functions as F
+
+    def in_ring(ring):
+        # ANSI-safe: element_at throws out-of-bounds, so degenerate rings
+        # (<3 points, no edges) get an empty edge-index array up front
+        idx = F.when(
+            F.size(ring) >= 3, F.sequence(F.lit(0), F.size(ring) - 2)
+        ).otherwise(F.array().cast("array<int>"))
+
+        def crosses(i):
+            a = F.element_at(ring, i + 1)
+            b = F.element_at(ring, i + 2)
+            straddles = (a["lat"] > py) != (b["lat"] > py)
+            xint = a["lon"] + (py - a["lat"]) * (b["lon"] - a["lon"]) / (
+                b["lat"] - a["lat"]
+            )
+            return straddles & (px < xint)
+
+        n = F.size(F.filter(F.transform(idx, crosses), lambda c: c))
+        return n % 2 == 1
+
+    def in_polygon(rings):
+        holes = F.slice(rings, 2, F.greatest(F.size(rings) - 1, F.lit(0)))
+        return F.when(
+            F.size(rings) >= 1,
+            in_ring(F.element_at(rings, 1)) & ~F.exists(holes, in_ring),
+        ).otherwise(F.lit(False))
+
+    return F.exists(polygons, in_polygon)

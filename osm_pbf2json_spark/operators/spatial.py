@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, Window
 import pyspark.sql.functions as F
 
 from ..functions import tiles as T
-from ..functions.geometry import points_in_polygons
+from ..functions.geometry import pip_contains_col, points_in_polygons
 
 
 # --- flagship: broadcast PIP join -------------------------------------------
@@ -228,31 +228,12 @@ def pip_join_cells(
     pol = polygons.withColumn("_cell", F.explode(poly_cells_udf("polygons")))
     cand = pts.join(pol, "_cell")
 
-    def refine(iterator):
-        # Vectorized per CANDIDATE POLYGON, not per row: group each Arrow
-        # batch by polygon key, parse that polygon's rings ONCE, and run a
-        # single points_in_polygons call over all its candidate points.
-        # Python cost is O(#polygons-present-in-batch) calls, not O(rows).
-        for pdf in iterator:
-            if not len(pdf):
-                yield pdf
-                continue
-            keep = np.zeros(len(pdf), dtype=bool)
-            lon = pdf[lon_col].to_numpy(np.float64)
-            lat = pdf[lat_col].to_numpy(np.float64)
-            for _, idx in pdf.groupby("key", sort=False).indices.items():
-                rings = [
-                    [
-                        np.array([(c["lon"], c["lat"]) for c in ring], np.float64)
-                        for ring in poly
-                    ]
-                    for poly in pdf["polygons"].iloc[idx[0]]
-                ]
-                pts = np.stack([lon[idx], lat[idx]], axis=1)
-                keep[idx] = points_in_polygons(pts, rings)
-            yield pdf[keep]
-
-    refined = cand.mapInPandas(refine, cand.schema)
+    # exact refine as a PURE Catalyst ray-cast over the rings column —
+    # whole-stage codegen end-to-end after the join; the only Python in
+    # this operator is the per-side cell assignment above
+    refined = cand.filter(
+        pip_contains_col(F.col(lon_col), F.col(lat_col), F.col("polygons"))
+    )
     return refined.drop("_cell", "polygons")
 
 

@@ -153,3 +153,49 @@ def test_assemble_multipolygon_hole_assignment():
     polys = g.assemble_multipolygon(outer, inner)
     assert len(polys) == 1
     assert len(polys[0]) == 2
+
+
+def test_pip_contains_col_matches_numpy_kernel(spark):
+    """The Catalyst ray-cast must agree with points_in_polygons bit-for-bit
+    on polygons with holes, multiple parts, and degenerate rings."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from osm_pbf2json_spark.functions.geometry import (
+        pip_contains_col,
+        points_in_polygons,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    outer = [(0.0, 0.0), (6.0, 0.0), (6.0, 6.0), (0.0, 6.0), (0.0, 0.0)]
+    hole = [(2.0, 2.0), (4.0, 2.0), (4.0, 4.0), (2.0, 4.0), (2.0, 2.0)]
+    tri = [(8.0, 8.0), (9.5, 8.2), (8.7, 9.6), (8.0, 8.0)]
+    degenerate = [(1.0, 1.0), (2.0, 2.0)]  # <3 points: never contains
+    polysets = [
+        [[outer, hole]],            # square with hole
+        [[outer, hole], [tri]],     # multipolygon
+        [[degenerate]],             # degenerate only
+        [],                         # empty
+    ]
+    n = 400
+    px = rng.uniform(-1, 11, n)
+    py = rng.uniform(-1, 11, n)
+    pts_df = spark.createDataFrame(
+        [(i, float(px[i]), float(py[i])) for i in range(n)],
+        "id long, lon double, lat double",
+    )
+    for polys in polysets:
+        want = points_in_polygons(
+            np.stack([px, py], axis=1),
+            [[np.array(r, np.float64) for r in rings] for rings in polys],
+        )
+        pdf = spark.createDataFrame(
+            [([[ [{"lon": x, "lat": y} for x, y in ring] for ring in rings] for rings in polys],)],
+            "polygons array<array<array<struct<lon:double,lat:double>>>>",
+        )
+        got_rows = pts_df.crossJoin(pdf).select(
+            "id",
+            pip_contains_col(F.col("lon"), F.col("lat"), F.col("polygons")).alias("inside"),
+        ).collect()
+        got = np.array([r["inside"] for r in sorted(got_rows, key=lambda r: r["id"])])
+        assert (got == want).all(), f"mismatch for {len(polys)}-polygon set"
