@@ -371,6 +371,23 @@ def q_events_window(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join: every non-purchase event gets the user's most
+    recent prior purchase value (one window over the tagged union — no
+    range-join explosion). Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from osm_pbf2json_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    right = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    left = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(left, right, ts_col="ts", by_cols=("user_id",), value_cols=("value",))
+    return out.select(
+        "event_id", "user_id", F.round("asof_value", 6).alias("last_purchase_value")
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup groups over normalized text."""
     docs = _t(spark, sf_dir, "documents")
@@ -761,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk": q_window_topk,
         "agg_pricing": q_agg_pricing,
         "events_window": q_events_window,
+        "asof_join": q_asof_join,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -1020,6 +1038,16 @@ def oracle_sql() -> dict[str, str]:
                                          ORDER BY ts DESC, event_id DESC) = 1)
             SELECT a.user_id, a.n_events, a.sum_value, l.last_event_type
             FROM agg a JOIN last l ON a.user_id = l.user_id
+        """,
+        "asof_join": """
+            WITH r AS (SELECT user_id, ts, value FROM events
+                       WHERE event_type = 'purchase'),
+            l AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type <> 'purchase')
+            SELECT l.event_id, l.user_id,
+                   round(r.value, 6) AS last_purchase_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "dedup_exact": f"""
             SELECT min(doc_id) AS survivor_id, count(*) AS n_dups

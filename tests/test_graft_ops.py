@@ -334,3 +334,39 @@ def test_source_stats_dup_rate(spark):
     assert abs(got["s1"]["dup_rate"] - (1 - 2 / 3)) < 1e-6
     assert got["s1"]["n_langs"] == 2
     assert got["s2"]["dup_rate"] == 0.0
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: inclusive <= on ties, NULL before any snapshot,
+    tolerance nulls stale matches."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from osm_pbf2json_spark.operators.asof import asof_join
+
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    right = spark.createDataFrame(
+        [(1, t("2024-01-01 00:00:10"), 10.0), (1, t("2024-01-01 00:01:00"), 20.0),
+         (2, t("2024-01-01 00:00:30"), 99.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    left = spark.createDataFrame(
+        [(100, 1, t("2024-01-01 00:00:05")),   # before any -> NULL
+         (101, 1, t("2024-01-01 00:00:10")),   # tie -> inclusive, 10.0
+         (102, 1, t("2024-01-01 00:00:40")),   # -> 10.0
+         (103, 1, t("2024-01-01 00:02:00")),   # -> 20.0
+         (104, 2, t("2024-01-01 00:05:00")),   # -> 99.0
+         (105, 3, t("2024-01-01 00:05:00"))],  # no key -> NULL
+        "event_id long, user_id long, ts timestamp",
+    )
+    got = {r["event_id"]: r["asof_value"] for r in asof_join(left, right).collect()}
+    assert got == {100: None, 101: 10.0, 102: 10.0, 103: 20.0, 104: 99.0, 105: None}
+
+    tol = F.expr("INTERVAL 30 SECONDS")
+    got_tol = {
+        r["event_id"]: r["asof_value"]
+        for r in asof_join(left, right, tolerance=tol).collect()
+    }
+    # 103 is 60s after its match -> stale; 104 is 270s after -> stale
+    assert got_tol == {100: None, 101: 10.0, 102: 10.0, 103: None, 104: None, 105: None}
