@@ -358,6 +358,18 @@ def q_agg_pricing(spark, sf_dir):
     )
 
 
+def q_group_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont` semantics: linear interpolation on the sorted
+    values)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("q25_qty"),
+    )
+
+
 def q_events_window(spark, sf_dir):
     """Event-stream batch analytics: per-user session summary."""
     ev = _t(spark, sf_dir, "events")
@@ -369,6 +381,26 @@ def q_events_window(spark, sf_dir):
     return agg.join(
         last.select("user_id", F.col("event_type").alias("last_event_type")), "user_id"
     )
+
+
+def q_interval_join(spark, sf_dir):
+    """Banded 1D range join: per-supplier overlapping shipment intervals
+    (start = epoch-day of l_shipdate, deterministic width 1..14 days),
+    reference-point deduped — the temporal twin of J6."""
+    from osm_pbf2json_spark.operators.ranges import interval_overlap_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    iv = li.select(
+        F.col("l_suppkey").alias("k"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+        F.datediff(F.col("l_shipdate"), F.lit("1970-01-01").cast("date")).alias("s"),
+        (
+            F.datediff(F.col("l_shipdate"), F.lit("1970-01-01").cast("date"))
+            + (F.col("l_partkey") % 14)
+            + 1
+        ).alias("e"),
+    )
+    return interval_overlap_join(iv, "k", "id", "s", "e", bin_size=16)
 
 
 def q_asof_join(spark, sf_dir):
@@ -777,8 +809,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": q_knn,
         "window_topk": q_window_topk,
         "agg_pricing": q_agg_pricing,
+        "group_quantiles": q_group_quantiles,
         "events_window": q_events_window,
         "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -1027,6 +1061,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
         """,
+        "group_quantiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+                   round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+                   round(quantile_cont(l_quantity, 0.25), 4) AS q25_qty
+            FROM lineitem GROUP BY l_returnflag
+        """,
         "events_window": """
             WITH agg AS (
               SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS sum_value
@@ -1038,6 +1079,19 @@ def oracle_sql() -> dict[str, str]:
                                          ORDER BY ts DESC, event_id DESC) = 1)
             SELECT a.user_id, a.n_events, a.sum_value, l.last_event_type
             FROM agg a JOIN last l ON a.user_id = l.user_id
+        """,
+        "interval_join": """
+            WITH iv AS (
+              SELECT l_suppkey AS k,
+                     l_orderkey * 10 + l_linenumber AS id,
+                     (CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS s,
+                     (CAST(l_shipdate AS DATE) - DATE '1970-01-01')
+                       + (l_partkey % 14) + 1 AS e
+              FROM lineitem)
+            SELECT a.k AS k, a.id AS a, b.id AS b
+            FROM iv a JOIN iv b
+              ON a.k = b.k AND a.id < b.id
+             AND a.s <= b.e AND b.s <= a.e
         """,
         "asof_join": """
             WITH r AS (SELECT user_id, ts, value FROM events

@@ -370,3 +370,27 @@ def test_asof_join_semantics(spark):
     }
     # 103 is 60s after its match -> stale; 104 is 270s after -> stale
     assert got_tol == {100: None, 101: 10.0, 102: 10.0, 103: None, 104: None, 105: None}
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    import numpy as np
+
+    from osm_pbf2json_spark.operators.ranges import interval_overlap_join
+
+    rng = np.random.Generator(np.random.PCG64(17))
+    n = 500
+    k = rng.integers(0, 5, n)
+    s = rng.integers(0, 1000, n)
+    e = s + rng.integers(0, 50, n)
+    df = spark.createDataFrame(
+        [(int(k[i]), i, int(s[i]), int(e[i])) for i in range(n)],
+        "k long, id long, s long, e long",
+    )
+    got = {(r["a"], r["b"]) for r in interval_overlap_join(df, "k", "id", "s", "e", bin_size=32).collect()}
+    want = {
+        (i, j)
+        for i in range(n)
+        for j in range(i + 1, n)
+        if k[i] == k[j] and s[i] <= e[j] and s[j] <= e[i]
+    }
+    assert got == want and len(want) > 1000
