@@ -92,8 +92,10 @@ BENCH_QUERIES = {
     ),
     "ann_cosine_topk": E.q_ann_cosine_topk,
     "tile_histogram": E.q_tile_histogram,
-    # large×large PIP path (cell equi-join + vectorized refine)
+    # large×large PIP path (cell equi-join + Catalyst ray-cast refine)
     "pip_cells": E.q_j5b_pip_cells,
+    "asof_join": E.q_asof_join,
+    "interval_join": E.q_interval_join,
 }
 
 

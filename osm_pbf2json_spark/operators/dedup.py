@@ -55,6 +55,13 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 
 def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    # The shingle explode multiplies rows ~50×, and Spark never re-splits
+    # a partition mid-stage — a narrow input (one small parquet file, a
+    # fresh cache) would run the whole normalize→shingle→hash pass on a
+    # handful of cores. Widen BEFORE the explode.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     return (
         df.select(
             F.col(id_col).alias("id"),
