@@ -641,6 +641,15 @@ def q_boundaries_e2e(spark, sf_dir):
 # --- rows-only entries (non-SQL-expressible; stronger checks in pytest) -----
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic key-hash train/val/test split — rows-only (DuckDB has
+    no xxhash64); disjointness/stability/rates pinned in pytest."""
+    from osm_pbf2json_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs, (0.9, 0.05, 0.05)).select("doc_id", "split")
+
+
 def q_streets_e2e(spark, sf_dir):
     """streets() end-to-end (F5→S2→J1→A1-A5) at generator scale: ways from
     orders (refs = their lineitem point nodes, names shared across 50
@@ -834,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "ann_ivf": q_ann_ivf,
         "streets_e2e": q_streets_e2e,
+        "hash_split": q_hash_split,
     }
 
 

@@ -394,3 +394,40 @@ def test_interval_overlap_join_matches_bruteforce(spark):
         if k[i] == k[j] and s[i] <= e[j] and s[j] <= e[i]
     }
     assert got == want and len(want) > 1000
+
+
+def test_hash_split_disjoint_exhaustive_stable(spark):
+    from osm_pbf2json_spark.operators.sampling import hash_sample, hash_split
+
+    df = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"]: r["split"] for r in hash_split(df, (0.8, 0.1, 0.1)).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in hash_split(df, (0.8, 0.1, 0.1)).collect()}
+    assert s1 == s2 and len(s1) == 20000              # deterministic, exhaustive
+    from collections import Counter
+    c = Counter(s1.values())
+    assert set(c) == {0, 1, 2}                        # disjoint index space
+    assert abs(c[0] / 20000 - 0.8) < 0.02
+    assert abs(c[1] / 20000 - 0.1) < 0.01
+
+    # growth stability: a key keeps its split when the table grows
+    bigger = spark.range(0, 40000).withColumnRenamed("id", "doc_id")
+    s3 = {r["doc_id"]: r["split"] for r in hash_split(bigger, (0.8, 0.1, 0.1)).collect()}
+    assert all(s3[k] == v for k, v in s1.items())
+
+    samp = hash_sample(df, 0.25).count()
+    assert abs(samp / 20000 - 0.25) < 0.02
+
+
+def test_stratified_sample_exact_counts(spark):
+    from osm_pbf2json_spark.operators.sampling import stratified_sample_exact
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(999)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample_exact(df, 0.1, strata_cols=("lang",))
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    import math
+    assert got["en"] == math.ceil(666 * 0.1) and got["de"] == math.ceil(333 * 0.1)
+    # deterministic membership
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in stratified_sample_exact(df, 0.1, strata_cols=("lang",)).collect())
+    assert a == b
