@@ -1,0 +1,93 @@
+"""Hypothesis property tests over the pure kernels (no Spark session):
+grid invariants, ring stitching, split stability — the §5 test-strategy
+layer that fixed goldens can't cover."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from osm_pbf2json_spark.functions import tiles as T
+from osm_pbf2json_spark.functions.geometry import points_in_polygons, stitch_rings
+
+lonlat = st.tuples(
+    st.floats(min_value=-179.9, max_value=179.9, allow_nan=False),
+    st.floats(min_value=-89.9, max_value=89.9, allow_nan=False),
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(lonlat, st.integers(min_value=2, max_value=20), st.integers(min_value=1, max_value=10))
+def test_quad_parent_is_ancestor(pt, level, up):
+    """parent(cell(p, L), L-k) == cell(p, L-k): the hierarchy commutes."""
+    lon, lat = pt
+    parent_level = max(0, level - up)
+    child = T.quad_cell(np.array([lon]), np.array([lat]), level)
+    direct = T.quad_cell(np.array([lon]), np.array([lat]), parent_level)
+    via_parent = T.quad_parent(child, parent_level)
+    assert int(via_parent[0]) == int(direct[0])
+    assert int(T.quad_level(child)[0]) == level
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(lonlat, min_size=1, max_size=20),
+    st.integers(min_value=2, max_value=14),
+)
+def test_quad_covering_contains_member_points(pts, level):
+    """Every point inside a bbox maps to a cell of the bbox's exact-level
+    covering (the invariant the cell equi-join plans rely on)."""
+    arr = np.array(pts, dtype=np.float64)
+    cover = set(
+        T.quad_covering_bbox(
+            arr[:, 0].min(), arr[:, 1].min(), arr[:, 0].max(), arr[:, 1].max(),
+            level, max_cells=None,
+        ).tolist()
+    )
+    cells = T.quad_cell(arr[:, 0], arr[:, 1], level)
+    assert set(cells.tolist()) <= cover
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_stitch_rings_recovers_shuffled_reversed_chunks(data):
+    """Any closed ring cut into chunks, shuffled, with random chunks
+    reversed, stitches back into exactly one closed ring with the same
+    node-id cycle (admin.rs build_boundary semantics)."""
+    n = data.draw(st.integers(min_value=4, max_value=24))
+    node_ids = list(range(100, 100 + n))
+    rng_seed = data.draw(st.integers(min_value=0, max_value=2**31))
+    rng = np.random.Generator(np.random.PCG64(rng_seed))
+    coords = {i: (float(rng.uniform(-10, 10)), float(rng.uniform(-10, 10))) for i in node_ids}
+    cycle = node_ids + [node_ids[0]]
+    # cut into 1..n chunks at sorted random positions
+    n_cuts = data.draw(st.integers(min_value=0, max_value=min(5, n - 1)))
+    cuts = sorted(set(data.draw(st.lists(st.integers(min_value=1, max_value=n - 1), min_size=n_cuts, max_size=n_cuts))))
+    bounds = [0] + cuts + [n]
+    chunks = [cycle[a : b + 1] for a, b in zip(bounds[:-1], bounds[1:])]
+    order = list(rng.permutation(len(chunks)))
+    ways_ids, ways_xy = [], []
+    for ci in order:
+        ids = chunks[ci]
+        if data.draw(st.booleans()):
+            ids = ids[::-1]
+        ways_ids.append(list(ids))
+        ways_xy.append(np.array([coords[i] for i in ids], dtype=np.float64))
+    rings = stitch_rings(ways_ids, ways_xy)
+    assert len(rings) == 1
+    ring = rings[0]
+    # same multiset of vertices, closed
+    assert (ring[0] == ring[-1]).all()
+    got = {tuple(p) for p in ring.tolist()}
+    want = {coords[i] for i in node_ids}
+    assert got == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(lonlat, st.floats(min_value=-50, max_value=50), st.floats(min_value=-50, max_value=50))
+def test_points_in_polygons_translation_invariant(pt, dx, dy):
+    lon, lat = pt
+    square = np.array([(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)], dtype=np.float64)
+    p = np.array([[lon % 8, lat % 8]])
+    base = points_in_polygons(p, [[square]])[0]
+    shifted = points_in_polygons(p + [dx, dy], [[square + [dx, dy]]])[0]
+    assert base == shifted
