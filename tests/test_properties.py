@@ -30,13 +30,17 @@ def test_quad_parent_is_ancestor(pt, level, up):
 
 @settings(max_examples=100, deadline=None)
 @given(
-    st.lists(lonlat, min_size=1, max_size=20),
+    lonlat,
+    st.lists(st.tuples(st.floats(0, 2.0), st.floats(0, 2.0)), min_size=1, max_size=20),
     st.integers(min_value=2, max_value=14),
 )
-def test_quad_covering_contains_member_points(pts, level):
+def test_quad_covering_contains_member_points(base, offsets, level):
     """Every point inside a bbox maps to a cell of the bbox's exact-level
-    covering (the invariant the cell equi-join plans rely on)."""
-    arr = np.array(pts, dtype=np.float64)
+    covering (the invariant the cell equi-join plans rely on). The bbox
+    is kept small (<=2 deg) so exact-level coverings stay test-sized."""
+    lon0 = min(base[0], 177.0)
+    lat0 = min(base[1], 87.0)
+    arr = np.array([(lon0 + dx, lat0 + dy) for dx, dy in offsets], dtype=np.float64)
     cover = set(
         T.quad_covering_bbox(
             arr[:, 0].min(), arr[:, 1].min(), arr[:, 0].max(), arr[:, 1].max(),
