@@ -96,42 +96,54 @@ def resolve_relation_coords(
         .select("id", "pos", F.col("mid").alias("child"))
     )
 
-    # Relation→relation edges are tiny (relations are <1% of entities and
-    # nesting is shallow); the level assignment is driver-side over that
-    # edge list only — never over nodes/ways.
-    edges = rel_members.select("id", "child").distinct().collect()
-    rel_ids = {r[0] for r in relations.select("id").collect()}
-    children: dict[int, set] = {i: set() for i in rel_ids}
-    for r in edges:
-        if r["child"] in rel_ids:
-            children[r["id"]].add(r["child"])
-
-    resolved_order: list[int] = []
-    level_of: dict[int, int] = {}
-    pending = set(rel_ids)
-    for level in range(max_rounds):
-        ready = [i for i in pending if all(c in level_of for c in children[i])]
-        if not ready:
-            break
-        for i in ready:
-            level_of[i] = level
-            resolved_order.append(i)
-        pending -= set(ready)
-    # anything still pending is part of a cycle: break by ignoring
-    # intra-pending child edges (deterministic cycle guard)
-    for i in sorted(pending):
-        children[i] = {c for c in children[i] if c in level_of}
-        level_of[i] = max_rounds
-
-    levels_df = spark.createDataFrame(
-        [(i, level_of[i]) for i in rel_ids], "id long, level int"
+    # Level assignment is DISTRIBUTED — an anti-join fixpoint over the
+    # relation→relation edge list (never over nodes/ways, and never a
+    # driver collect: the planet has ~10⁷ relations, which is edge-list
+    # driver-OOM territory). Each round: relations with no edge to a
+    # still-unassigned child (that exists in the input set) become
+    # `ready` at the current level. Rounds are bounded by nesting depth.
+    all_ids = _pin(relations.select("id").distinct())
+    # only edges to children that are actually present can block
+    real_edges = _pin(
+        rel_members.select("id", "child")
+        .distinct()
+        .join(all_ids.select(F.col("id").alias("child")), "child", "left_semi")
     )
+    remaining = all_ids
+    levels_df = spark.createDataFrame([], "id long, level int")
+    n_levels = 0
+    for level in range(max_rounds):
+        if remaining.isEmpty():
+            break
+        blocked = (
+            real_edges.join(
+                remaining.select(F.col("id").alias("child")), "child", "left_semi"
+            )
+            .select("id")
+            .distinct()
+        )
+        ready = _pin(remaining.join(blocked, "id", "left_anti"))
+        if ready.isEmpty():
+            break  # every remaining relation sits in a cycle
+        levels_df = levels_df.unionByName(
+            ready.withColumn("level", F.lit(level))
+        )
+        remaining = _pin(remaining.join(ready, "id", "left_anti"))
+        n_levels = level + 1
+    # cycle guard: everything still remaining resolves in one final level;
+    # intra-cycle child edges find no earlier-resolved child and thus
+    # contribute nothing (deterministic, matches SURVEY.md §4 notes)
+    if not remaining.isEmpty():
+        levels_df = levels_df.unionByName(
+            remaining.withColumn("level", F.lit(n_levels))
+        )
+        n_levels += 1
+    levels_df = _pin(levels_df)
 
     hull_udf = F.pandas_udf(_hull_series, COORD_ARR)
 
     resolved: DataFrame | None = None
-    max_level = max(level_of.values(), default=0)
-    for level in range(max_level + 1):
+    for level in range(n_levels):
         this_ids = levels_df.filter(F.col("level") == level).select("id")
         if level == 0:
             child_part = spark.createDataFrame([], "id long, pos int, mcoords " + COORD_ARR)
