@@ -181,54 +181,104 @@ def _deterministic_stroke(id_col: Column) -> Column:
     )
 
 
-def streets_geojson(streets_df: DataFrame) -> str:
-    """FeatureCollection JSON string (driver-side assembly of a small,
-    already-aggregated result — mirrors the reference's single-writer
-    sink, output.rs:121-158)."""
+def streets_geojson_features(streets_df: DataFrame) -> DataFrame:
+    """(value string): one GeoJSON Feature per street, built DISTRIBUTED
+    (Arrow-batched) so a planet-scale export writes feature lines from
+    executors; only the O(1) collection framing is driver-side. Row order
+    is preserved, so an ordered input yields an ordered collection."""
     import json
 
-    feats = []
-    for r in streets_df.collect():
-        coords = [
-            [[c["lon"], c["lat"]] for c in s["coords"]]
-            for s in r["segments"]
-            if len(s["coords"]) >= 2
-        ]
-        if not coords:
-            continue
-        props = {"name": r["name"]}
-        # deterministic stroke from street id
-        sid = r["id"] & 0xFFFFFF
-        props["stroke"] = f"#{(sid >> 16) & 255:02X}{(sid >> 8) & 255:02X}{sid & 255:02X}"
-        if r["boundary"] is not None:
-            props["boundary"] = r["boundary"]
-        feats.append(
-            {
-                "type": "Feature",
-                "properties": props,
-                "geometry": {"type": "MultiLineString", "coordinates": coords},
-            }
-        )
-    return json.dumps({"type": "FeatureCollection", "features": feats})
+    import pandas as pd
+
+    def kernel(iterator):
+        for pdf in iterator:
+            vals = []
+            for r in pdf.to_dict("records"):
+                coords = [
+                    [[c["lon"], c["lat"]] for c in s["coords"]]
+                    for s in r["segments"]
+                    if len(s["coords"]) >= 2
+                ]
+                if not coords:
+                    continue  # whole street dropped (output.rs:125-132)
+                props = {"name": r["name"]}
+                sid = int(r["id"]) & 0xFFFFFF
+                props["stroke"] = (
+                    f"#{(sid >> 16) & 255:02X}{(sid >> 8) & 255:02X}{sid & 255:02X}"
+                )
+                if r["boundary"] is not None:
+                    props["boundary"] = r["boundary"]
+                vals.append(
+                    json.dumps(
+                        {
+                            "type": "Feature",
+                            "properties": props,
+                            "geometry": {
+                                "type": "MultiLineString",
+                                "coordinates": coords,
+                            },
+                        }
+                    )
+                )
+            yield pd.DataFrame({"value": vals})
+
+    return streets_df.mapInPandas(kernel, "value string")
+
+
+def boundaries_geojson_features(boundaries_df: DataFrame) -> DataFrame:
+    """(value string): one GeoJSON Feature per boundary, built distributed."""
+    import json
+
+    import pandas as pd
+
+    def kernel(iterator):
+        for pdf in iterator:
+            vals = []
+            for r in pdf.to_dict("records"):
+                coords = [
+                    [[[c["lon"], c["lat"]] for c in ring] for ring in rings]
+                    for rings in r["polygons"]
+                ]
+                vals.append(
+                    json.dumps(
+                        {
+                            "type": "Feature",
+                            "properties": {
+                                "name": r["name"],
+                                "admin_level": str(r["admin_level"]),
+                            },
+                            "geometry": {
+                                "type": "MultiPolygon",
+                                "coordinates": coords,
+                            },
+                        }
+                    )
+                )
+            yield pd.DataFrame({"value": vals})
+
+    return boundaries_df.mapInPandas(kernel, "value string")
+
+
+def _feature_collection(feature_lines: list[str]) -> str:
+    # byte-identical to json.dumps({"type": "FeatureCollection",
+    # "features": [...]}) with default separators
+    return (
+        '{"type": "FeatureCollection", "features": ['
+        + ", ".join(feature_lines)
+        + "]}"
+    )
+
+
+def streets_geojson(streets_df: DataFrame) -> str:
+    """FeatureCollection JSON string (reference single-writer sink,
+    output.rs:121-158). Features build on executors; the driver only
+    concatenates strings."""
+    return _feature_collection(
+        [r["value"] for r in streets_geojson_features(streets_df).collect()]
+    )
 
 
 def boundaries_geojson(boundaries_df: DataFrame) -> str:
-    import json
-
-    feats = []
-    for r in boundaries_df.collect():
-        coords = [
-            [[[c["lon"], c["lat"]] for c in ring] for ring in rings]
-            for rings in r["polygons"]
-        ]
-        feats.append(
-            {
-                "type": "Feature",
-                "properties": {
-                    "name": r["name"],
-                    "admin_level": str(r["admin_level"]),
-                },
-                "geometry": {"type": "MultiPolygon", "coordinates": coords},
-            }
-        )
-    return json.dumps({"type": "FeatureCollection", "features": feats})
+    return _feature_collection(
+        [r["value"] for r in boundaries_geojson_features(boundaries_df).collect()]
+    )
