@@ -115,7 +115,7 @@ def cosine_topk_ivf(
     df: DataFrame,
     queries: list[tuple],
     k: int = 10,
-    n_centroids: int = 16,
+    n_centroids: int | str = 16,
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -124,7 +124,16 @@ def cosine_topk_ivf(
     """IVF scale path: corpus partitioned into centroid cells once; each
     query scans only its `n_probe` nearest cells with exact cosine
     re-ranking. Cell assignment is one Arrow kernel pass; the probe join
-    is a broadcast equi-join on cell id — the corpus never shuffles."""
+    is a broadcast equi-join on cell id — the corpus never shuffles.
+
+    n_centroids="auto" sizes the quantizer to ~sqrt(corpus rows)
+    (clamped to [16, 4096]) — index build is O(N) anyway, so the count
+    is amortized into the build."""
+    from ..plans.partitioning import widen_narrow_input
+
+    df = widen_narrow_input(df)
+    if n_centroids == "auto":
+        n_centroids = int(min(4096, max(16, df.count() ** 0.5)))
     cents = train_ivf_centroids(df, n_centroids, vec_col=vec_col, seed=seed)
 
     def assign(vecs: pd.Series) -> pd.Series:
@@ -173,6 +182,9 @@ def cosine_topk_lsh(
     """LSH-bucketed variant: corpus hashed once; each query probes its own
     bucket plus all 1-bit-flip neighbors (multi-probe). The plane dim
     comes from the query vectors — no driver job against the corpus."""
+    from ..plans.partitioning import widen_narrow_input
+
+    df = widen_narrow_input(df)
     dim = len(queries[0][1])
     planes = _plane_buckets(n_planes, dim, seed)
 

@@ -29,8 +29,11 @@ def tfidf_top_terms(
 ) -> DataFrame:
     """(doc id, term, tf, round(tfidf, 6), rank<=k); idf = ln((N+1)/(df+1))+1
     (smoothed), ties broken by term ascending for determinism."""
+    from ..plans.partitioning import widen_narrow_input
+
     toks = (
-        df.select(F.col(id_col).alias("id"), F.explode(F.split(normalize(F.col(text_col)), " ")).alias("term"))
+        widen_narrow_input(df)
+        .select(F.col(id_col).alias("id"), F.explode(F.split(normalize(F.col(text_col)), " ")).alias("term"))
         .filter(F.col("term") != "")
     )
     tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))

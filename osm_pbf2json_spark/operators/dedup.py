@@ -55,13 +55,11 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 
 def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    # The shingle explode multiplies rows ~50×, and Spark never re-splits
-    # a partition mid-stage — a narrow input (one small parquet file, a
-    # fresh cache) would run the whole normalize→shingle→hash pass on a
-    # handful of cores. Widen BEFORE the explode.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    # the shingle explode multiplies rows ~50× and Spark never re-splits
+    # a partition mid-stage — widen narrow inputs BEFORE the explode
+    from ..plans.partitioning import widen_narrow_input
+
+    df = widen_narrow_input(df)
     return (
         df.select(
             F.col(id_col).alias("id"),
@@ -284,6 +282,9 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     Token hashes computed JVM-side (xxhash64 in a transform); the bit fold
     runs vectorized per Arrow batch (popcount-style numpy, no per-row
     Python loops over tokens × bits)."""
+    from ..plans.partitioning import widen_narrow_input
+
+    df = widen_narrow_input(df)
     toks = F.split(normalize(F.col(text_col)), " ")
     hashes = F.transform(toks, lambda w: F.xxhash64(w))
 
@@ -371,8 +372,11 @@ def embedding_neardup_pairs(
     (deterministic seed); exact cosine verified JVM-side with
     zip_with + aggregate. Pass `dim` explicitly at scale — the
     `first()` fallback costs a driver job against the corpus."""
+    from ..plans.partitioning import widen_narrow_input
+
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
+    df = widen_narrow_input(df)
     rng = np.random.Generator(np.random.PCG64(seed))
     planes = rng.normal(size=(n_planes, dim))
 

@@ -24,6 +24,19 @@ import pyspark.sql.functions as F
 from ..functions import tiles as T
 
 
+def widen_narrow_input(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition when the input has fewer partitions than the cluster
+    has slots. Spark never re-splits a partition mid-stage, so an
+    operator that multiplies rows (shingle/token explode) or runs a
+    per-row kernel over a single small parquet file would otherwise
+    execute on a handful of cores. No-op when the input is already wide
+    (the normal case for a real multi-file table)."""
+    par = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def repartition_by_tile_prefix(
     df: DataFrame,
     n_partitions: int,
