@@ -28,6 +28,10 @@ def interval_overlap_join(
     bin_size: int = 32,
 ) -> DataFrame:
     """df: one interval per row. Returns (a, b) id pairs, a < b."""
+    from ..plans.partitioning import widen_narrow_input
+
+    df = widen_narrow_input(df)
+
     def bin_of(c):
         return F.floor(c / bin_size).cast("long")
 

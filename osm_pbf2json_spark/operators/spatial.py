@@ -202,6 +202,9 @@ def pip_join_cells(
     covering stays bounded: cost grows with (polygon_extent/cell_size)²
     per polygon row, while a coarser level only adds refine candidates,
     never wrong results."""
+    from ..plans.partitioning import widen_narrow_input
+
+    points = widen_narrow_input(points)
 
     cell_of_point = F.pandas_udf(
         lambda lon, lat: pd.Series(T.quad_cell(lon.to_numpy(), lat.to_numpy(), level)),
@@ -277,7 +280,15 @@ def bbox_self_join(
     emitted only from the cell containing the min corner of its overlap
     region — a pure codegen predicate, so no distinct() shuffle of the
     pair set is ever needed.
+
+    The input is widened first: the join's cost is the per-cell pair
+    volume (≫ input rows), and a narrow input would let AQE broadcast one
+    side and evaluate every candidate pair inside the narrow side's
+    scan stage — serial no matter how many cores exist.
     """
+    from ..plans.partitioning import widen_narrow_input
+
+    boxes = widen_narrow_input(boxes)
     withc = boxes.withColumn(
         "_cell", F.explode(_bbox_cells(F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"), pad, cell))
     )

@@ -71,17 +71,27 @@ def run(cpus: int, sf_dir: str, queries: str | None, mult: str) -> dict:
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     mult = os.environ.get("SPARK_GRAFT_BENCH_MULT", "64")
-    queries = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "flagship_pip_tile")
+    queries = os.environ.get(
+        "SPARK_GRAFT_BENCH_QUERIES", "flagship_pip_tile,j6_bbox_self_join"
+    )
     results = {c: run(c, sf_dir, queries, mult) for c in (2, 8, 32)}
     eff_2_8 = (results[8]["value"] / results[2]["value"]) / 4.0
     eff_8_32 = (results[32]["value"] / results[8]["value"]) / 4.0
     hw = hardware_ratio(8, 32)
+    # secondary jobs: efficiency from wall-time ratio (t_N / (4 * t_4N))
+    secondary = {}
+    for q in results[2]["queries"]:
+        if q == "flagship_pip_tile":
+            continue
+        t2, t8 = results[2]["queries"][q], results[8]["queries"][q]
+        secondary[q] = round(t2 / (4.0 * t8), 3)
     report = {
         "sf_dir": sf_dir,
         "mult": mult,
         "throughput": {str(c): results[c]["value"] for c in results},
         "efficiency_2_to_8": round(eff_2_8, 3),
         "efficiency_8_to_32": round(eff_8_32, 3),
+        "secondary_efficiency_2_to_8": secondary,
         "hw_compute_ratio_8_to_32": round(hw, 2),
         "criterion": ">= 0.8 per BASELINE.json (N→4N executor proxy)",
     }
@@ -109,6 +119,17 @@ def main():
             f"\n**Scaling efficiency 2→8 cores (N→4N, physical cores): "
             f"{eff_2_8:.3f}** — criterion ≥ 0.8.\n\n"
         )
+        if secondary:
+            f.write(
+                "Secondary jobs at the same two levels (efficiency = "
+                "t_N / (4·t_4N), same input, no mult):\n\n"
+            )
+            for q, eff in secondary.items():
+                f.write(
+                    f"- `{q}`: {results[2]['queries'][q]:.2f}s → "
+                    f"{results[8]['queries'][q]:.2f}s = **{eff:.3f}**\n"
+                )
+            f.write("\n")
         f.write(
             f"8→32 threads: {eff_8_32:.3f} (hardware ratio for this pair "
             f"measured at {hw:.2f}×/4 for ALU work; the flagship's NumPy "
