@@ -431,3 +431,74 @@ def test_stratified_sample_exact_counts(spark):
     a = sorted(r["doc_id"] for r in out.collect())
     b = sorted(r["doc_id"] for r in stratified_sample_exact(df, 0.1, strata_cols=("lang",)).collect())
     assert a == b
+
+
+def test_real_bmp_decode_roundtrip(spark):
+    """encode_bmp -> decode_bmp is exact, and decode_media reports true
+    dimensions + mean RGB for a known image."""
+    from osm_pbf2json_spark.operators.multimodal import (
+        decode_bmp,
+        decode_media,
+        encode_bmp,
+    )
+
+    rgb = np.zeros((2, 3, 3), dtype=np.uint8)
+    rgb[:, :, 0] = 255  # pure red
+    rgb[0, 0] = (0, 255, 0)  # one green pixel
+    payload = encode_bmp(rgb)
+    w, h, back = decode_bmp(payload)
+    assert (w, h) == (3, 2) and (back == rgb).all()
+
+    media = spark.createDataFrame(
+        [(1, "image", payload, {"width": 3, "height": 2, "sample_rate": None, "duration_ms": None})],
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,duration_ms:int>",
+    )
+    r = decode_media(media).collect()[0]
+    assert r["format"] == "bmp" and r["width"] == 3 and r["height"] == 2
+    # mean R = 5/6, mean G = 1/6, mean B = 0
+    assert abs(r["features"][0] - 5 / 6) < 1e-6
+    assert abs(r["features"][1] - 1 / 6) < 1e-6
+    assert r["features"][2] == 0.0
+
+
+def test_real_wav_decode(spark):
+    """A known sine: decode_media reports true rate/duration and RMS ~ a/sqrt(2)."""
+    from osm_pbf2json_spark.operators.multimodal import decode_media, encode_wav
+
+    rate = 8000
+    t = np.arange(rate) / rate  # 1 second
+    payload = encode_wav(0.5 * np.sin(2 * np.pi * 440 * t), rate)
+    media = spark.createDataFrame(
+        [(7, "audio", payload, {"width": None, "height": None, "sample_rate": rate, "duration_ms": 1000})],
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,duration_ms:int>",
+    )
+    r = decode_media(media).collect()[0]
+    assert r["format"] == "wav" and r["sample_rate"] == rate and r["duration_ms"] == 1000
+    assert abs(r["features"][0] - 0.5 / np.sqrt(2)) < 0.01  # RMS
+    assert abs(r["features"][1] - 0.5) < 0.01               # peak
+
+
+def test_decode_media_mixed_formats_and_fallback(spark):
+    """BMP/WAV rows decode for real; opaque payloads come back format-NULL
+    and still flow through decode_features(fake=True)."""
+    from osm_pbf2json_spark.operators.multimodal import (
+        decode_features,
+        decode_media,
+        synth_media_real,
+    )
+
+    media = synth_media_real(spark, 24)
+    out = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert len(out) == 24
+    for i, r in out.items():
+        if i % 3 == 0:
+            assert r["format"] == "bmp" and r["width"] == 16 + (i % 4) * 8
+        elif i % 3 == 1:
+            assert r["format"] == "wav" and r["sample_rate"] == 8000 and r["duration_ms"] == 250
+        else:
+            assert r["format"] is None and r["features"] == []
+    # real formats decode even with fake=False; opaque ones use the stub
+    feats = decode_features(media, fake=True).collect()
+    assert len(feats) == 24 and all(len(r["features"]) == 16 for r in feats)
