@@ -502,3 +502,13 @@ def test_decode_media_mixed_formats_and_fallback(spark):
     # real formats decode even with fake=False; opaque ones use the stub
     feats = decode_features(media, fake=True).collect()
     assert len(feats) == 24 and all(len(r["features"]) == 16 for r in feats)
+
+
+def test_ppm_decode():
+    from osm_pbf2json_spark.operators.multimodal import decode_ppm, sniff_format
+
+    rgb = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    payload = b"P6\n# comment\n2 2\n255\n" + rgb.tobytes()
+    assert sniff_format(payload) == "ppm"
+    w, h, back = decode_ppm(payload)
+    assert (w, h) == (2, 2) and (back == rgb).all()
