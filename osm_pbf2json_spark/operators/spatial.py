@@ -193,47 +193,62 @@ def pip_join_cells(
     lat_col: str = "lat",
 ) -> DataFrame:
     """points(id,lon,lat) × polygons(key, polygons nested array) → matches
-    (point id, polygon key). Cell equi-join (filter) + exact PIP (refine).
+    (point id, polygon key). Cell equi-join (filter) + exact PIP (refine),
+    100% JVM: planar grid cells + bbox coverings + the exact ray-cast are
+    all Catalyst expressions — NO Python stage anywhere in the plan
+    (gated in tests/test_plans.py).
 
-    `level` is the single shared grid level: points take their level-cell,
-    polygons their EXACT-level bbox covering (never silently coarsened —
-    adapted coverings carry a different level in the cell id and would
-    equi-join to nothing). Choose `level` so the largest polygon's
-    covering stays bounded: cost grows with (polygon_extent/cell_size)²
-    per polygon row, while a coarser level only adds refine candidates,
-    never wrong results."""
+    `level` sets the shared grid size (cell = 360°/2^level, same
+    granularity as quad level) on BOTH sides, so the equi-join can never
+    level-mix. Choose it so the largest polygon's covering stays bounded:
+    cost grows with (polygon_extent/cell_size)² per polygon row, while a
+    coarser level only adds refine candidates, never wrong results."""
     from ..plans.partitioning import widen_narrow_input
 
     points = widen_narrow_input(points)
+    s = 360.0 / (1 << level)
 
-    cell_of_point = F.pandas_udf(
-        lambda lon, lat: pd.Series(T.quad_cell(lon.to_numpy(), lat.to_numpy(), level)),
-        "long",
+    pts = points.withColumn(
+        "_cell",
+        _cell_id(
+            F.floor(F.col(lon_col) / s).cast("long"),
+            F.floor(F.col(lat_col) / s).cast("long"),
+        ),
     )
-
-    def poly_cells(polys: pd.Series) -> pd.Series:
-        out = []
-        for rings in polys:
-            pts = np.array(
-                [(c["lon"], c["lat"]) for poly in rings for ring in poly for c in ring],
-                dtype=np.float64,
-            ).reshape(-1, 2)
-            cells = T.quad_covering_bbox(
-                pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max(),
-                level, max_cells=None,
+    lons = F.flatten(
+        F.flatten(
+            F.transform(
+                "polygons",
+                lambda poly: F.transform(
+                    poly, lambda ring: F.transform(ring, lambda c: c["lon"])
+                ),
             )
-            out.append(cells.tolist())
-        return pd.Series(out)
-
-    poly_cells_udf = F.pandas_udf(poly_cells, "array<long>")
-
-    pts = points.withColumn("_cell", cell_of_point(F.col(lon_col), F.col(lat_col)))
-    pol = polygons.withColumn("_cell", F.explode(poly_cells_udf("polygons")))
+        )
+    )
+    lats = F.flatten(
+        F.flatten(
+            F.transform(
+                "polygons",
+                lambda poly: F.transform(
+                    poly, lambda ring: F.transform(ring, lambda c: c["lat"])
+                ),
+            )
+        )
+    )
+    pol = (
+        polygons.withColumn("_x0", F.array_min(lons))
+        .withColumn("_x1", F.array_max(lons))
+        .withColumn("_y0", F.array_min(lats))
+        .withColumn("_y1", F.array_max(lats))
+        .withColumn(
+            "_cell",
+            F.explode(
+                _bbox_cells(F.col("_x0"), F.col("_y0"), F.col("_x1"), F.col("_y1"), 0.0, s)
+            ),
+        )
+        .drop("_x0", "_x1", "_y0", "_y1")
+    )
     cand = pts.join(pol, "_cell")
-
-    # exact refine as a PURE Catalyst ray-cast over the rings column —
-    # whole-stage codegen end-to-end after the join; the only Python in
-    # this operator is the per-side cell assignment above
     refined = cand.filter(
         pip_contains_col(F.col(lon_col), F.col(lat_col), F.col("polygons"))
     )

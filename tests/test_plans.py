@@ -81,9 +81,10 @@ def test_pip_cells_candidate_join_is_hash_join(spark, sf_dir):
     plan = _plan(spatial.pip_join_cells(pts, polys, level=10))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
-    # the exact PIP refine is a Catalyst ray-cast: the only Python stages
-    # are the two per-side cell assignments, never a row-churning kernel
+    # the WHOLE operator is JVM-side Catalyst: planar cells, bbox
+    # coverings, and the exact ray-cast refine — zero Python stages
     assert "MapInPandas" not in plan
+    assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_salted_join_is_deterministic_expression(spark):
