@@ -642,12 +642,13 @@ def q_boundaries_e2e(spark, sf_dir):
 
 
 def q_hash_split(spark, sf_dir):
-    """Deterministic key-hash train/val/test split — rows-only (DuckDB has
-    no xxhash64); disjointness/stability/rates pinned in pytest."""
+    """Deterministic key-hash train/val/test split, md5-portable bucket
+    (bit-reproducible in DuckDB → oracle-checked; the xxhash64 fast path
+    is pinned separately in pytest)."""
     from osm_pbf2json_spark.operators.sampling import hash_split
 
     docs = _t(spark, sf_dir, "documents")
-    return hash_split(docs, (0.9, 0.05, 0.05)).select("doc_id", "split")
+    return hash_split(docs, (0.9, 0.05, 0.05), method="md5").select("doc_id", "split")
 
 
 def q_streets_e2e(spark, sf_dir):
@@ -879,6 +880,183 @@ def _stopword_sql_case() -> str:
         + ",".join(score[l] for l in langs)
         + f") > 0 THEN ({expr}) ELSE 'und' END AS lang_pred FROM documents"
     )
+
+
+def _quality_sql() -> str:
+    """Mirror of functions.text.quality_score: same token/char features,
+    same arithmetic grouping, rounded to 6 dp on both sides."""
+    from osm_pbf2json_spark.functions.text import _STOPWORDS
+
+    sw = ",".join(
+        "'" + w.replace("'", "''") + "'" for ws in _STOPWORDS.values() for w in ws
+    )
+    toks = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+    return f"""
+        WITH feat AS (
+          SELECT doc_id,
+                 length(text) AS n_chars,
+                 len({toks}) AS n_tokens,
+                 len(list_filter({toks}, w -> list_contains([{sw}], w))) AS n_stop,
+                 length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) AS n_punct,
+                 length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+                 length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+          FROM documents),
+        ratio AS (
+          SELECT doc_id,
+                 least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS length_term,
+                 CASE WHEN n_tokens > 0
+                      THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_r,
+                 CASE WHEN n_chars > 0
+                      THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_r,
+                 CASE WHEN n_chars > 0
+                      THEN CAST(n_upper AS DOUBLE) / n_chars ELSE 0.0 END AS upper_r,
+                 CASE WHEN n_chars > 0
+                      THEN CAST(n_digit AS DOUBLE) / n_chars ELSE 0.0 END AS digit_r
+          FROM feat)
+        SELECT doc_id,
+               round((length_term * 0.3 + least(stop_r * 4.0, 1.0) * 0.3)
+                     + (greatest(0.0, 1.0 - punct_r * 5.0)
+                        + greatest(0.0, 1.0 - upper_r * 3.0)
+                        + greatest(0.0, 1.0 - digit_r * 3.0)) / 3.0 * 0.4, 6) AS q
+        FROM ratio
+    """
+
+
+def _hex_tiles_sql(res: int = 9) -> str:
+    """Mirror of functions.tiles.hex_cell at `res`: axial transform with
+    the EXACT float constants the numpy kernel uses (inlined via repr),
+    banker's rounding (round_even ≡ np.round), cube-coordinate fix-up,
+    and the same 60/30/30-bit pack with int64 wraparound."""
+    from osm_pbf2json_spark.functions import tiles as T
+
+    size = repr(float(T.hex_size(res)))
+    c1 = repr(float(T._SQRT3 / 3.0))
+    c2 = repr(2.0 / 3.0)
+    off = 1 << 29
+    return f"""
+        WITH pts AS ({_POINTS_SQL}),
+        f AS (SELECT point_id,
+                     (({c1}) * lon - lat / 3.0) / ({size}) AS qf,
+                     (({c2}) * lat) / ({size}) AS rf
+              FROM pts),
+        r0 AS (SELECT point_id, qf, rf, -qf - rf AS sf,
+                      round_even(qf, 0) AS q, round_even(rf, 0) AS r,
+                      round_even(-qf - rf, 0) AS s
+               FROM f),
+        fx AS (SELECT point_id, q, r, s,
+                      abs(q - qf) AS dq, abs(r - rf) AS dr, abs(s - sf) AS ds
+               FROM r0),
+        ax AS (SELECT point_id,
+                      CASE WHEN dq > dr AND dq > ds THEN -r - s ELSE q END AS qq,
+                      CASE WHEN NOT (dq > dr AND dq > ds) AND dr > ds
+                           THEN -q - s ELSE r END AS rr
+               FROM fx)
+        SELECT point_id,
+               CAST(({res}::HUGEINT * 1152921504606846976
+                     + (CAST(qq AS BIGINT) + {off})::HUGEINT * 1073741824
+                     + (CAST(rr AS BIGINT) + {off}))
+                    - CASE WHEN {res}::HUGEINT * 1152921504606846976
+                                + (CAST(qq AS BIGINT) + {off})::HUGEINT * 1073741824
+                                + (CAST(rr AS BIGINT) + {off})
+                                >= 9223372036854775808::HUGEINT
+                           THEN 18446744073709551616::HUGEINT ELSE 0 END
+                    AS BIGINT) AS tile
+        FROM ax
+    """
+
+
+def _quad_tiles_sql(level: int = 12) -> str:
+    """Mirror of functions.tiles.quad_cell at `level`: lon/lat → 2^level
+    grid (truncating like .astype(int64) — inputs are non-negative after
+    the +180/+90 shift, so floor == trunc), then the classic Hilbert
+    xy→d bit-rotation unrolled as a recursive CTE, packed as
+    (level << 58) | d."""
+    n = 1 << level
+    s0 = 1 << (level - 1)
+    head = level << 58
+    return f"""
+        WITH RECURSIVE pts AS ({_POINTS_SQL}),
+        cells AS (
+          SELECT point_id,
+                 least(greatest(CAST(floor(((lon - (-180.0)) / 360.0) * {n}.0)
+                                     AS BIGINT), 0), {n - 1}) AS x0,
+                 least(greatest(CAST(floor(((lat - (-90.0)) / 180.0) * {n}.0)
+                                     AS BIGINT), 0), {n - 1}) AS y0
+          FROM pts),
+        h AS (
+          SELECT point_id, x0 AS x, y0 AS y,
+                 CAST(0 AS BIGINT) AS d, CAST({s0} AS BIGINT) AS s
+          FROM cells
+          UNION ALL
+          SELECT point_id,
+                 CASE WHEN ry = 0
+                      THEN (CASE WHEN rx = 1 THEN s - 1 - y ELSE y END)
+                      ELSE x END,
+                 CASE WHEN ry = 0
+                      THEN (CASE WHEN rx = 1 THEN s - 1 - x ELSE x END)
+                      ELSE y END,
+                 d + s * s * xor(3 * rx, ry),
+                 s // 2
+          FROM (SELECT point_id, x, y, d, s,
+                       CASE WHEN (x & s) > 0 THEN CAST(1 AS BIGINT)
+                            ELSE CAST(0 AS BIGINT) END AS rx,
+                       CASE WHEN (y & s) > 0 THEN CAST(1 AS BIGINT)
+                            ELSE CAST(0 AS BIGINT) END AS ry
+                FROM h WHERE s > 0) t)
+        SELECT point_id, CAST({head} + d AS BIGINT) AS tile
+        FROM h WHERE s = 0
+    """
+
+
+def _winnow_sql(k: int = 5, w: int = 4) -> str:
+    """Mirror of functions.text.winnowing_fingerprints COUNT per doc: the
+    k-gram polynomial hash (base 257 mod 2^61-1) needs no modulus for
+    k=5 — codepoints < 2^21, so the 5-term polynomial < 2^56 < 2^61-1 —
+    making the DuckDB side a plain BIGINT polynomial over unicode()
+    codepoints; window minima via a 4-row sliding min, fingerprint count
+    = COUNT(DISTINCT min). Docs shorter than k+w-1 chars collapse to one
+    fingerprint (empty normalized text → 0), matching the kernel's
+    short-input branches."""
+    assert k == 5 and w == 4, "SQL mirror is unrolled for k=5, w=4"
+    gram = (
+        "((((unicode(substr(t, CAST(i AS INT), 1))::BIGINT * 257"
+        " + unicode(substr(t, CAST(i + 1 AS INT), 1))) * 257"
+        " + unicode(substr(t, CAST(i + 2 AS INT), 1))) * 257"
+        " + unicode(substr(t, CAST(i + 3 AS INT), 1))) * 257"
+        " + unicode(substr(t, CAST(i + 4 AS INT), 1)))"
+    )
+    return f"""
+        WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+        nn AS (SELECT doc_id, t, length(t) AS n FROM norm),
+        pos AS (SELECT doc_id, t, n, unnest(range(1, CAST(n AS BIGINT) - 3)) AS i
+                FROM nn WHERE n >= {k + w}),
+        g AS (SELECT doc_id, i, {gram} AS h FROM pos),
+        wm AS (SELECT doc_id,
+                      min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                   ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS m,
+                      row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+               FROM g),
+        c AS (SELECT doc_id, count(DISTINCT m) AS n_fp
+              FROM wm WHERE rn >= {w} GROUP BY doc_id)
+        SELECT nn.doc_id,
+               CAST(CASE WHEN nn.n = 0 THEN 0
+                         WHEN nn.n <= {k + w - 1} THEN 1
+                         ELSE c.n_fp END AS INT) AS n_fp
+        FROM nn LEFT JOIN c ON nn.doc_id = c.doc_id
+    """
+
+
+def _hash_split_sql(fractions=(0.9, 0.05, 0.05), seed: int = 42) -> str:
+    """Mirror of sampling.hash_split(method='md5'): identical md5 hex
+    prefix compared against identical thresholds (generated by the same
+    Python expression, so float quirks in `sum(fractions[:i+1])` cancel
+    exactly)."""
+    h = f"substring(md5(concat_ws('|', CAST(doc_id AS VARCHAR), '{seed}')), 1, 8)"
+    expr = str(len(fractions) - 1)
+    for i in reversed(range(len(fractions) - 1)):
+        thr = format(int(sum(fractions[: i + 1]) * (16**8)), "08x")
+        expr = f"CASE WHEN {h} < '{thr}' THEN {i} ELSE {expr} END"
+    return f"SELECT doc_id, CAST({expr} AS INT) AS split FROM documents"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1231,4 +1409,9 @@ def oracle_sql() -> dict[str, str]:
                                                  CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
             FROM embeddings
         """,
+        "quality_score": _quality_sql(),
+        "hex_tiles": _hex_tiles_sql(9),
+        "quad_tiles": _quad_tiles_sql(12),
+        "winnow_fingerprints": _winnow_sql(),
+        "hash_split": _hash_split_sql(),
     }

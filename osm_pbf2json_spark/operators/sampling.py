@@ -35,14 +35,37 @@ def hash_split(
     key_cols=("doc_id",),
     seed: int = 42,
     split_col: str = "split",
+    method: str = "xxh",
 ) -> DataFrame:
     """Annotate each row with a split index 0..len(fractions)-1 by key
     hash. Splits are disjoint, exhaustive, and stable per key — the same
-    key always lands in the same split, on any cluster, forever."""
-    b = _bucket(key_cols, seed)
-    expr = F.lit(len(fractions) - 1)
-    for i in reversed(range(len(fractions) - 1)):
-        expr = F.when(b < int(sum(fractions[: i + 1]) * _BUCKETS), F.lit(i)).otherwise(expr)
+    key always lands in the same split, on any cluster, forever.
+
+    method='xxh' (default) buckets by xxhash64 — the fast JVM path.
+    method='md5' buckets by the first 8 hex chars of
+    md5(concat_ws('|', keys, seed)) compared lexicographically against
+    hex thresholds — still pure Catalyst, but bit-reproducible in ANY
+    engine with md5 (DuckDB, Trino, Postgres), so split assignments can
+    be audited outside Spark."""
+    if method == "md5":
+        h = F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(c).cast("string") for c in key_cols], F.lit(str(seed))
+                )
+            ),
+            1,
+            8,
+        )
+        expr = F.lit(len(fractions) - 1)
+        for i in reversed(range(len(fractions) - 1)):
+            thr = format(int(sum(fractions[: i + 1]) * (16**8)), "08x")
+            expr = F.when(h < thr, F.lit(i)).otherwise(expr)
+    else:
+        b = _bucket(key_cols, seed)
+        expr = F.lit(len(fractions) - 1)
+        for i in reversed(range(len(fractions) - 1)):
+            expr = F.when(b < int(sum(fractions[: i + 1]) * _BUCKETS), F.lit(i)).otherwise(expr)
     return df.withColumn(split_col, expr.cast("int"))
 
 
