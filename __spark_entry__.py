@@ -725,8 +725,14 @@ def q_minhash_lsh(spark, sf_dir):
 
 
 def q_simhash_neardup(spark, sf_dir):
+    """Pigeonhole-blocked simhash near-dup join with the md5-portable
+    token hash — the block join is exact for the Hamming predicate, so
+    the DuckDB all-pairs mirror is a true oracle (the xxhash64 fast path
+    is pinned separately in pytest)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_neardup_pairs(docs, max_hamming=10).select("a", "b", "hamming")
+    return dedup.simhash_neardup_pairs(docs, max_hamming=10, hash="md5").select(
+        "a", "b", "hamming"
+    )
 
 
 def q_hex_tiles(spark, sf_dir):
@@ -1043,6 +1049,43 @@ def _winnow_sql(k: int = 5, w: int = 4) -> str:
                          WHEN nn.n <= {k + w - 1} THEN 1
                          ELSE c.n_fp END AS INT) AS n_fp
         FROM nn LEFT JOIN c ON nn.doc_id = c.doc_id
+    """
+
+
+def _simhash_sql(max_hamming: int = 10) -> str:
+    """Mirror of dedup.simhash_neardup_pairs(hash='md5') as an all-pairs
+    filter: per-token 64-bit md5 hash (two 32-bit hex parses, int64
+    wraparound), 64 per-bit sign-sum votes, two's-complement pack, then
+    bit_count(xor) over every id<id pair. Valid as an oracle because the
+    engine's pigeonhole blocking has no false negatives."""
+    tok = (
+        f"SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS w FROM documents"
+    )
+    h = (
+        "CAST((('0x' || substring(md5(w), 1, 8))::BIGINT::HUGEINT * 4294967296"
+        " + ('0x' || substring(md5(w), 9, 8))::BIGINT)"
+        " - CASE WHEN ('0x' || substring(md5(w), 1, 8))::BIGINT >= 2147483648"
+        "        THEN 18446744073709551616::HUGEINT ELSE 0 END AS BIGINT)"
+    )
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64)
+    )
+    low = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END" for b in range(63)
+    )
+    return f"""
+        WITH tok AS ({tok}),
+        th AS (SELECT doc_id, {h} AS h FROM tok),
+        votes AS (SELECT doc_id, {votes} FROM th GROUP BY doc_id),
+        sh AS (SELECT doc_id,
+                      ({low})
+                      + CASE WHEN v63 > 0 THEN -9223372036854775808 ELSE 0 END AS s
+               FROM votes)
+        SELECT l.doc_id AS a, r.doc_id AS b,
+               CAST(bit_count(xor(l.s, r.s)) AS INT) AS hamming
+        FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.s, r.s)) <= {max_hamming}
     """
 
 
@@ -1414,4 +1457,5 @@ def oracle_sql() -> dict[str, str]:
         "quad_tiles": _quad_tiles_sql(12),
         "winnow_fingerprints": _winnow_sql(),
         "hash_split": _hash_split_sql(),
+        "simhash_neardup": _simhash_sql(10),
     }

@@ -276,17 +276,33 @@ def dedup_clusters(
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", hash: str = "xxh"
+) -> DataFrame:
     """(id, simhash long): 64-bit sign-sum fingerprint.
 
     Token hashes computed JVM-side (xxhash64 in a transform); the bit fold
     runs vectorized per Arrow batch (popcount-style numpy, no per-row
-    Python loops over tokens × bits)."""
+    Python loops over tokens × bits).
+
+    hash='md5' swaps the per-token hash for the first 64 bits of md5
+    (two 32-bit hex parses OR'd — shiftleft wraps, no ANSI overflow), a
+    slower but engine-portable hash: the identical fingerprint can be
+    recomputed in DuckDB/Trino/Postgres for external audits."""
     from ..plans.partitioning import widen_narrow_input
 
     df = widen_narrow_input(df)
     toks = F.split(normalize(F.col(text_col)), " ")
-    hashes = F.transform(toks, lambda w: F.xxhash64(w))
+    if hash == "md5":
+        def _h64(w):
+            m = F.md5(w)
+            hi = F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
+            lo = F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
+            return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+        hashes = F.transform(toks, _h64)
+    else:
+        hashes = F.transform(toks, lambda w: F.xxhash64(w))
 
     def fold(hs: pd.Series) -> pd.Series:
         out = np.zeros(len(hs), dtype=np.int64)
@@ -312,15 +328,19 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash: str = "xxh",
 ) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance ≤ max_hamming.
 
     Candidate generation by block keys (split 64 bits into max_hamming+1
     chunks — pigeonhole: any pair within distance d shares one intact
-    chunk), then exact popcount verify via bit_count (JVM)."""
+    chunk), then exact popcount verify via bit_count (JVM). The block
+    join is EXACT for the Hamming predicate (no false negatives), so the
+    result equals the all-pairs filter — which is what the DuckDB oracle
+    computes when hash='md5'."""
     nblocks = max_hamming + 1
     width = 64 // nblocks
-    sh = simhash(df, text_col, id_col)
+    sh = simhash(df, text_col, id_col, hash=hash)
     blocks = sh.select(
         "id",
         "simhash",
