@@ -718,10 +718,15 @@ def q_streets_e2e(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
+    """Banded minhash-LSH near-dup join with the md5-portable shingle
+    hash: given the hashes, signatures and band membership are fully
+    deterministic, so the DuckDB mirror reproduces the exact pair set
+    (banding false-negatives and all) — a true oracle, not just a
+    rows-count check. The xxhash64 fast path is pinned in pytest."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, threshold=0.35, num_perm=64, bands=16).select(
-        "a", "b"
-    )
+    return dedup.minhash_lsh_pairs(
+        docs, threshold=0.35, num_perm=64, bands=16, hash="md5"
+    ).select("a", "b")
 
 
 def q_simhash_neardup(spark, sf_dir):
@@ -1086,6 +1091,67 @@ def _simhash_sql(max_hamming: int = 10) -> str:
                CAST(bit_count(xor(l.s, r.s)) AS INT) AS hamming
         FROM sh l JOIN sh r ON l.doc_id < r.doc_id
         WHERE bit_count(xor(l.s, r.s)) <= {max_hamming}
+    """
+
+
+def _minhash_sql(
+    threshold: float = 0.35,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    seed: int = 42,
+) -> str:
+    """Mirror of dedup.minhash_lsh_pairs(hash='md5'): word-n-gram
+    shingles of normalized text, md5-64 shingle hashes, (a·x+b) mod p
+    signatures with the engine's literal PCG64 coefficients, band keys
+    as comma-joined signature slices (the engine xxhash64's that string,
+    but equality of strings ⟺ equality of band buckets), candidate
+    equi-join, exact-Jaccard verify. Reproduces banding false-negatives
+    exactly — a full-pipeline oracle."""
+    from osm_pbf2json_spark.operators.dedup import _MERSENNE_P, _perm_coeffs
+
+    a, b = _perm_coeffs(num_perm, seed)
+    perm_vals = ",".join(f"({i},{int(a[i])},{int(b[i])})" for i in range(num_perm))
+    rpb = num_perm // bands
+    p = _MERSENNE_P
+    h64 = (
+        "CAST((('0x' || substring(md5(g), 1, 8))::BIGINT::HUGEINT * 4294967296"
+        " + ('0x' || substring(md5(g), 9, 8))::BIGINT)"
+        " - CASE WHEN ('0x' || substring(md5(g), 1, 8))::BIGINT >= 2147483648"
+        "        THEN 18446744073709551616::HUGEINT ELSE 0 END AS BIGINT)"
+    )
+    return f"""
+        WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+        ws AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+        gpos AS (SELECT doc_id, w, unnest(range(1, len(w) - {n - 2})) AS i
+                 FROM ws WHERE len(w) >= {n}),
+        grams AS (
+          SELECT doc_id, array_to_string(list_slice(w, i, i + {n - 1}), ' ') AS g
+          FROM gpos
+          UNION ALL
+          SELECT doc_id, array_to_string(w, ' ') AS g FROM ws WHERE len(w) < {n}),
+        sh AS (SELECT DISTINCT doc_id AS id, {h64} AS h FROM grams),
+        sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        perm AS (SELECT * FROM (VALUES {perm_vals}) AS p(i, pa, pb)),
+        sig AS (SELECT id, p.i AS i,
+                       min((p.pa * (abs(h) % {p}) + p.pb) % {p}) AS sv
+                FROM sh CROSS JOIN perm p GROUP BY id, p.i),
+        bnd AS (SELECT id, i // {rpb} AS band,
+                       string_agg(CAST(sv AS VARCHAR), ',' ORDER BY i) AS bh
+                FROM sig GROUP BY id, i // {rpb}),
+        cand AS (SELECT DISTINCT l.id AS a, r.id AS b
+                 FROM bnd l JOIN bnd r
+                   ON l.band = r.band AND l.bh = r.bh AND l.id < r.id),
+        inter AS (SELECT c.a, c.b, count(*) AS n_inter
+                  FROM cand c
+                  JOIN sh sa ON sa.id = c.a
+                  JOIN sh sb ON sb.id = c.b AND sb.h = sa.h
+                  GROUP BY c.a, c.b)
+        SELECT i.a, i.b
+        FROM inter i
+        JOIN sizes za ON za.id = i.a
+        JOIN sizes zb ON zb.id = i.b
+        WHERE CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter) >= {threshold}
     """
 
 
@@ -1458,4 +1524,5 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _winnow_sql(),
         "hash_split": _hash_split_sql(),
         "simhash_neardup": _simhash_sql(10),
+        "minhash_lsh": _minhash_sql(0.35, 64, 16),
     }

@@ -54,18 +54,31 @@ def shingles(text: Column, n: int = 3) -> Column:
     ).otherwise(F.array(F.array_join(ws, " ")))
 
 
-def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+def _md5_h64(w: Column) -> Column:
+    """First 64 bits of md5 as a long (two 32-bit hex parses OR'd —
+    shiftleft wraps, no ANSI overflow). Slower than xxhash64 but
+    bit-reproducible in any engine with md5, enabling external audits."""
+    m = F.md5(w)
+    hi = F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def _shingle_table(
+    df: DataFrame, text_col: str, id_col: str, n: int, hash: str = "xxh"
+) -> DataFrame:
     # the shingle explode multiplies rows ~50× and Spark never re-splits
     # a partition mid-stage — widen narrow inputs BEFORE the explode
     from ..plans.partitioning import widen_narrow_input
 
     df = widen_narrow_input(df)
+    hfn = _md5_h64 if hash == "md5" else F.xxhash64
     return (
         df.select(
             F.col(id_col).alias("id"),
             F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"),
         )
-        .withColumn("h", F.xxhash64("sh"))
+        .withColumn("h", hfn(F.col("sh")))
         .drop("sh")
     )
 
@@ -156,15 +169,21 @@ def minhash_lsh_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash: str = "xxh",
 ) -> DataFrame:
     """Candidate pairs from LSH banding, verified by exact n-gram Jaccard.
 
-    The shingle table is computed ONCE (normalize→split→shingle→xxhash is
+    The shingle table is computed ONCE (normalize→split→shingle→hash is
     the dominant corpus pass) and pinned with localCheckpoint so both the
     signature stage and the exact-verify stage read the materialized
-    partitions instead of re-running the pass."""
+    partitions instead of re-running the pass.
+
+    hash='md5' makes the shingle hashes (and therefore signatures, band
+    membership, and the final pair set) bit-reproducible outside Spark —
+    band candidate generation is deterministic given the hashes, so the
+    whole pipeline can be audited/oracle-checked externally."""
     rows_per_band = num_perm // bands
-    sh = _shingle_table(df, text_col, id_col, n).localCheckpoint(eager=True)
+    sh = _shingle_table(df, text_col, id_col, n, hash=hash).localCheckpoint(eager=True)
     sigs = minhash_signatures(df, num_perm, n, text_col, id_col, shingle_df=sh)
     banded = sigs.select(
         "id",
@@ -293,16 +312,8 @@ def simhash(
 
     df = widen_narrow_input(df)
     toks = F.split(normalize(F.col(text_col)), " ")
-    if hash == "md5":
-        def _h64(w):
-            m = F.md5(w)
-            hi = F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
-            lo = F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
-            return F.shiftleft(hi, 32).bitwiseOR(lo)
-
-        hashes = F.transform(toks, _h64)
-    else:
-        hashes = F.transform(toks, lambda w: F.xxhash64(w))
+    hfn = _md5_h64 if hash == "md5" else F.xxhash64
+    hashes = F.transform(toks, lambda w: hfn(w))
 
     def fold(hs: pd.Series) -> pd.Series:
         out = np.zeros(len(hs), dtype=np.int64)
