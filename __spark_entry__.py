@@ -1155,6 +1155,53 @@ def _minhash_sql(
     """
 
 
+def _streets_e2e_sql() -> str:
+    """Mirror of q_streets_e2e (streets() full pipeline on generator
+    tables): way bboxes from the same synthetic node/ref derivation,
+    connectivity = padded-bbox overlap (pad 0.002°, streets.rs:14) —
+    the engine's grid bucketing is exact w.r.t. this predicate, so a
+    plain pairwise join reproduces the edge set — connected components
+    via recursive-CTE transitive closure, then per-component XOR id,
+    Σ bbox-diag length, and segment count."""
+    return """
+        WITH RECURSIVE nodes AS (
+          SELECT l_orderkey * 10 + l_linenumber AS nid,
+                 min((CAST(floor(l_orderkey / 100.0) AS BIGINT) % 100) * 0.1
+                     + (l_partkey % 10) * 0.001) AS lat,
+                 min((l_orderkey % 100) * 0.1 + l_linenumber * 0.001) AS lon
+          FROM lineitem GROUP BY l_orderkey * 10 + l_linenumber),
+        wn AS (SELECT DISTINCT l_orderkey AS way_id,
+                               l_orderkey * 10 + l_linenumber AS nid
+               FROM lineitem),
+        wb AS (SELECT w.way_id,
+                      min(n.lon) AS swx, max(n.lon) AS nex,
+                      min(n.lat) AS swy, max(n.lat) AS ney
+               FROM wn w JOIN nodes n USING (nid) GROUP BY w.way_id),
+        named AS (SELECT wb.*,
+                         'Street ' || CAST(o.o_custkey % 50 AS VARCHAR) AS name
+                  FROM wb JOIN orders o ON o.o_orderkey = wb.way_id),
+        edges AS (
+          SELECT l.name, l.way_id AS a, r.way_id AS b
+          FROM named l JOIN named r
+            ON l.name = r.name AND l.way_id <> r.way_id
+           AND l.swx - 0.002 <= r.nex AND l.nex + 0.002 >= r.swx
+           AND l.swy - 0.002 <= r.ney AND l.ney + 0.002 >= r.swy),
+        reach AS (
+          SELECT name, way_id AS src, way_id AS dst FROM named
+          UNION
+          SELECT r.name, r.src, e.b
+          FROM reach r JOIN edges e ON e.name = r.name AND e.a = r.dst),
+        comp AS (SELECT name, src AS way_id, min(dst) AS cid
+                 FROM reach GROUP BY name, src)
+        SELECT bit_xor(c.way_id) AS id, c.name,
+               round(sum(sqrt(pow(b.nex - b.swx, 2)
+                            + pow(b.ney - b.swy, 2))), 6) AS length,
+               CAST(count(*) AS INT) AS n_segments
+        FROM comp c JOIN wb b USING (way_id)
+        GROUP BY c.name, c.cid
+    """
+
+
 def _hash_split_sql(fractions=(0.9, 0.05, 0.05), seed: int = 42) -> str:
     """Mirror of sampling.hash_split(method='md5'): identical md5 hex
     prefix compared against identical thresholds (generated by the same
@@ -1525,4 +1572,5 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": _hash_split_sql(),
         "simhash_neardup": _simhash_sql(10),
         "minhash_lsh": _minhash_sql(0.35, 64, 16),
+        "streets_e2e": _streets_e2e_sql(),
     }
