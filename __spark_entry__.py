@@ -1202,6 +1202,81 @@ def _streets_e2e_sql() -> str:
     """
 
 
+def _embedding_neardup_sql(
+    threshold: float = 0.45, n_planes: int = 4, dim: int = 64, seed: int = 42
+) -> str:
+    """Mirror of dedup.embedding_neardup_pairs: hyperplane-sign buckets
+    against the engine's literal PCG64 planes (float64 dot, matching the
+    numpy kernel), bucket equi-join, then exact cosine with the engine's
+    arithmetic shape — float32 per-term products (the Spark zip_with on
+    array<float> multiplies in float32) accumulated in double."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    planes = rng.normal(size=(n_planes, dim))
+    plane_dots = [
+        "list_inner_product(CAST(v AS DOUBLE[]), ["
+        + ",".join(repr(float(x)) for x in planes[i])
+        + "])"
+        for i in range(n_planes)
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN {plane_dots[i]} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+
+    def fdot(x, y):
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}),"
+            f" i -> CAST({x}[i] * {y}[i] AS DOUBLE)))"
+        )
+
+    cos = f"{fdot('l.v', 'r.v')} / (sqrt({fdot('l.v', 'l.v')}) * sqrt({fdot('r.v', 'r.v')}))"
+    return f"""
+        WITH b AS (SELECT vec_id AS id, embedding AS v, {bucket} AS bucket
+                   FROM embeddings)
+        SELECT DISTINCT l.id AS a, r.id AS b
+        FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id
+        WHERE {cos} >= {threshold}
+    """
+
+
+def _ann_lsh_sql(k: int = 5, n_planes: int = 6, dim: int = 64, seed: int = 42) -> str:
+    """Mirror of ann.cosine_topk_lsh for the vec_id=0 query: hyperplane
+    buckets against the engine's literal planes, multi-probe = base
+    bucket plus every 1-bit flip ⟺ bit_count(xor) ≤ 1, exact cosine
+    re-rank over the probed candidates."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    planes = rng.normal(size=(n_planes, dim))
+
+    def bucket(col):
+        return " + ".join(
+            f"(CASE WHEN list_inner_product({col}, ["
+            + ",".join(repr(float(x)) for x in planes[i])
+            + f"]) > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(n_planes)
+        )
+
+    return f"""
+        WITH b AS (SELECT vec_id AS neighbor_id,
+                          CAST(embedding AS DOUBLE[]) AS v,
+                          {bucket("CAST(embedding AS DOUBLE[])")} AS bucket
+                   FROM embeddings),
+        qb AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE neighbor_id = 0),
+        cand AS (SELECT b.neighbor_id,
+                        list_inner_product(b.v, qb.qv)
+                        / (sqrt(list_inner_product(b.v, b.v))
+                         * sqrt(list_inner_product(qb.qv, qb.qv))) AS cosine
+                 FROM b, qb
+                 WHERE bit_count(xor(b.bucket, qb.qbucket)) <= 1)
+        SELECT neighbor_id,
+               row_number() OVER (ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM cand QUALIFY rank <= {k}
+    """
+
+
 def _hash_split_sql(fractions=(0.9, 0.05, 0.05), seed: int = 42) -> str:
     """Mirror of sampling.hash_split(method='md5'): identical md5 hex
     prefix compared against identical thresholds (generated by the same
@@ -1573,4 +1648,6 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup": _simhash_sql(10),
         "minhash_lsh": _minhash_sql(0.35, 64, 16),
         "streets_e2e": _streets_e2e_sql(),
+        "embedding_neardup": _embedding_neardup_sql(0.45, 4, 64),
+        "ann_lsh": _ann_lsh_sql(5, 6, 64),
     }
