@@ -473,6 +473,65 @@ def q_lang_id(spark, sf_dir):
     return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
 
+def _messy_urls(spark, sf_dir, path_mod: int | None = None):
+    """Deterministic messy-URL table from orders: mixed-case schemes and
+    hosts, default/explicit ports, tracking params, unsorted query
+    params, fragments, multi-label public suffixes. `path_mod` collapses
+    paths onto o_orderkey % path_mod to create canonical-URL dups."""
+    o = _t(spark, sf_dir, "orders")
+    ki = (F.col("o_orderkey") % 3 + 1).cast("int")
+    cj = (F.col("o_custkey") % 3 + 1).cast("int")
+    pathkey = (
+        (F.col("o_orderkey") % path_mod) if path_mod else F.col("o_orderkey")
+    ).cast("string")
+    url = F.concat(
+        F.element_at(F.array(F.lit("HTTP"), F.lit("https"), F.lit("http")), ki),
+        F.lit("://"),
+        F.element_at(F.array(F.lit("WWW.Shop"), F.lit("media"), F.lit("News")), cj),
+        (F.col("o_custkey") % 50).cast("string"),
+        F.element_at(
+            F.array(F.lit(".Example.CO.UK"), F.lit(".example.com"), F.lit(".Example.org")),
+            ki,
+        ),
+        F.element_at(F.array(F.lit(":80"), F.lit(""), F.lit(":8080")), ki),
+        F.lit("/items/"),
+        pathkey,
+        F.element_at(
+            F.array(F.lit("?utm_source=feed&b=2&a=1"), F.lit("?a=1"), F.lit("")), cj
+        ),
+        F.element_at(F.array(F.lit("#frag"), F.lit(""), F.lit("")), ki),
+    )
+    return o.select(F.col("o_orderkey").alias("id"), url.alias("url"))
+
+
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization + eTLD+1 for the Common-Crawl-style key
+    column (pure Catalyst; the oracle mirrors every rule)."""
+    from osm_pbf2json_spark.functions.urls import (
+        canonicalize_url,
+        registered_domain,
+        url_host,
+    )
+
+    d = _messy_urls(spark, sf_dir)
+    return d.select(
+        "id",
+        canonicalize_url(F.col("url")).alias("canonical_url"),
+        registered_domain(url_host(F.col("url"))).alias("domain"),
+    )
+
+
+def q_url_dedup(spark, sf_dir):
+    """Exact URL-level dedup on the canonical form (paths collapsed mod
+    1000 to force survivors with real dup counts)."""
+    from osm_pbf2json_spark.functions.urls import url_dedup
+
+    d = _messy_urls(spark, sf_dir, path_mod=1000)
+    return url_dedup(d, url_col="url", id_col="id").select(
+        F.col("curl"), "survivor_id", "n_dups"
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k vs the corpus itself (query = vec 0)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -840,6 +899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "tfidf_topk": q_tfidf_topk,
+        "url_canonical": q_url_canonical,
+        "url_dedup": q_url_dedup,
         "source_stats": q_source_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
         "emb_norms": q_emb_norms,
@@ -1277,6 +1338,85 @@ def _ann_lsh_sql(k: int = 5, n_planes: int = 6, dim: int = 64, seed: int = 42) -
     """
 
 
+def _url_sql(path_mod: int | None = None, dedup: bool = False) -> str:
+    """Mirror of functions.urls canonicalization over the same
+    synthesized messy-URL table (_messy_urls): identical split regex,
+    port/fragment/tracking rules, param sort, and eTLD+1 logic."""
+    from osm_pbf2json_spark.functions.urls import (
+        MULTI_SUFFIXES,
+        TRACKING_PARAM_RE,
+        _URL_RE,
+    )
+
+    ki = "CAST(o_orderkey % 3 AS INT) + 1"
+    cj = "CAST(o_custkey % 3 AS INT) + 1"
+    pathexpr = f"o_orderkey % {path_mod}" if path_mod else "o_orderkey"
+    suffixes = "[" + ",".join(f"'{s}'" for s in MULTI_SUFFIXES) + "]"
+    final = (
+        "SELECT canonical_url AS curl, min(id) AS survivor_id, "
+        "count(*) AS n_dups FROM curl GROUP BY canonical_url"
+        if dedup
+        else """
+        SELECT c.id, c.canonical_url,
+               CASE WHEN len(d.ls) <= 2 THEN d.h
+                    WHEN list_contains({sfx},
+                         d.ls[len(d.ls) - 1] || '.' || d.ls[len(d.ls)])
+                    THEN d.ls[len(d.ls) - 2] || '.' || d.ls[len(d.ls) - 1]
+                         || '.' || d.ls[len(d.ls)]
+                    ELSE d.ls[len(d.ls) - 1] || '.' || d.ls[len(d.ls)] END AS domain
+        FROM curl c JOIN (
+          SELECT id, h, string_split(h, '.') AS ls
+          FROM (SELECT id, regexp_replace(regexp_replace(host0, ':[0-9]+$', ''),
+                                          '^www\\.', '') AS h FROM parts)
+        ) d USING (id)
+        """.replace("{sfx}", suffixes)
+    )
+    return f"""
+        WITH u AS (
+          SELECT o_orderkey AS id,
+                 ['HTTP','https','http'][{ki}] || '://'
+                 || ['WWW.Shop','media','News'][{cj}]
+                 || CAST(o_custkey % 50 AS VARCHAR)
+                 || ['.Example.CO.UK','.example.com','.Example.org'][{ki}]
+                 || [':80','',':8080'][{ki}]
+                 || '/items/' || CAST({pathexpr} AS VARCHAR)
+                 || ['?utm_source=feed&b=2&a=1','?a=1',''][{cj}]
+                 || ['#frag','',''][{ki}] AS url
+          FROM orders),
+        parts AS (
+          SELECT id, url,
+                 lower(regexp_extract(url, '{_URL_RE}', 1)) AS scheme,
+                 lower(regexp_extract(url, '{_URL_RE}', 2)) AS host0,
+                 regexp_extract(url, '{_URL_RE}', 3) AS path0,
+                 -- DuckDB yields NULL (not '') for a non-participating
+                 -- optional group; Spark yields '' — align with coalesce
+                 coalesce(regexp_extract(url, '{_URL_RE}', 4), '') AS rawq
+          FROM u),
+        canon AS (
+          SELECT id,
+                 scheme,
+                 CASE WHEN scheme = 'http' AND host0 LIKE '%:80'
+                      THEN substr(host0, 1, length(host0) - 3)
+                      WHEN scheme = 'https' AND host0 LIKE '%:443'
+                      THEN substr(host0, 1, length(host0) - 4)
+                      ELSE host0 END AS host,
+                 CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+                 -- array_to_string of an empty list is NULL in DuckDB
+                 -- (Spark array_join gives '') — align with coalesce
+                 coalesce(array_to_string(list_sort(list_filter(
+                     string_split(regexp_replace(rawq, '^\\?', ''), '&'),
+                     p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}'))),
+                   '&'), '') AS q
+          FROM parts),
+        curl AS (
+          SELECT id,
+                 scheme || '://' || host || path
+                 || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
+          FROM canon)
+        {final}
+    """
+
+
 def _hash_split_sql(fractions=(0.9, 0.05, 0.05), seed: int = 42) -> str:
     """Mirror of sampling.hash_split(method='md5'): identical md5 hex
     prefix compared against identical thresholds (generated by the same
@@ -1650,4 +1790,6 @@ def oracle_sql() -> dict[str, str]:
         "streets_e2e": _streets_e2e_sql(),
         "embedding_neardup": _embedding_neardup_sql(0.45, 4, 64),
         "ann_lsh": _ann_lsh_sql(5, 6, 64),
+        "url_canonical": _url_sql(),
+        "url_dedup": _url_sql(path_mod=1000, dedup=True),
     }

@@ -1,0 +1,72 @@
+"""URL canonicalization goldens (functions/urls.py): exact expected
+strings per rule — case, ports, fragments, tracking params, param sort,
+eTLD+1 with multi-label suffixes — plus the url_dedup survivor rule."""
+
+import pyspark.sql.functions as F
+
+from osm_pbf2json_spark.functions.urls import (
+    canonicalize_url,
+    registered_domain,
+    url_dedup,
+    url_host,
+)
+
+CASES = [
+    # (raw, canonical, domain)
+    (
+        "HTTP://WWW.Shop1.Example.CO.UK:80/items/5?utm_source=feed&b=2&a=1#frag",
+        "http://www.shop1.example.co.uk/items/5?a=1&b=2",
+        "example.co.uk",
+    ),
+    (
+        "https://media2.example.com:443/x?a=1",
+        "https://media2.example.com/x?a=1",
+        "example.com",
+    ),
+    (  # non-default port survives; empty path becomes '/'
+        "http://News3.Example.org:8080",
+        "http://news3.example.org:8080/",
+        "example.org",
+    ),
+    (  # two-label host: registered domain is the host itself
+        "http://example.com/a",
+        "http://example.com/a",
+        "example.com",
+    ),
+    (  # :80 NOT stripped for https; gclid/fbclid stripped, empty ? dropped
+        "https://a.b.co.jp:80/p?gclid=1&fbclid=2",
+        "https://a.b.co.jp:80/p",
+        "b.co.jp",
+    ),
+]
+
+
+def test_canonicalize_and_domain_goldens(spark):
+    df = spark.createDataFrame([(i, c[0]) for i, c in enumerate(CASES)], "i int, url string")
+    rows = (
+        df.select(
+            "i",
+            canonicalize_url(F.col("url")).alias("c"),
+            registered_domain(url_host(F.col("url"))).alias("d"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    for r, (_, want_c, want_d) in zip(rows, CASES):
+        assert r["c"] == want_c, (r["i"], r["c"])
+        assert r["d"] == want_d, (r["i"], r["d"])
+
+
+def test_url_dedup_survivor(spark):
+    # same canonical URL spelled three ways -> one survivor (min id)
+    urls = [
+        (7, "HTTP://Example.COM:80/x?utm_source=z&a=1"),
+        (3, "http://example.com/x?a=1#section"),
+        (9, "http://example.com/x?a=1"),
+        (5, "http://example.com/y"),
+    ]
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    out = {r["curl"]: r for r in url_dedup(df).collect()}
+    assert out["http://example.com/x?a=1"]["survivor_id"] == 3
+    assert out["http://example.com/x?a=1"]["n_dups"] == 3
+    assert out["http://example.com/y"]["n_dups"] == 1
