@@ -57,6 +57,22 @@ def test_canonicalize_and_domain_goldens(spark):
         assert r["d"] == want_d, (r["i"], r["d"])
 
 
+def test_url_functions_are_jvm_only(spark):
+    """Canonicalization must stay whole-stage-codegen — no Python eval
+    nodes in the executed plan (hot path over 10^12 URLs)."""
+    df = spark.createDataFrame([("http://example.com/a?b=1",)], "url string")
+    plan = (
+        df.select(
+            canonicalize_url(F.col("url")),
+            registered_domain(url_host(F.col("url"))),
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_url_dedup_survivor(spark):
     # same canonical URL spelled three ways -> one survivor (min id)
     urls = [
