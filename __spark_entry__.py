@@ -776,6 +776,69 @@ def q_streets_e2e(spark, sf_dir):
     )
 
 
+def q_objects_e2e(spark, sf_dir):
+    """objects() end-to-end (F1→S2→F8→J1→A6/A7→O1) at generator scale:
+    nodes from customer, open-polyline ways from orders (last ref
+    structurally != first, so the shape dispatch always takes the
+    line-centroid path — the polygon path has its own geometry goldens),
+    filter 'amenity~cafe' matching 1/5 of nodes and 1/3 of ways; ways
+    whose +1 ref exceeds the customer range exercise J1's missing-ref
+    drop. Oracle mirrors the closure-resolve-centroid-bounds pipeline."""
+    from osm_pbf2json_spark.operators.closure import EntityTables
+    from osm_pbf2json_spark.operators.objects import objects
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nodes = cust.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") % 97) * F.lit(0.1)).alias("lon"),
+        ((F.col("c_custkey") % 89) * F.lit(0.1)).alias("lat"),
+        F.when(
+            F.col("c_custkey") % 5 == 0,
+            F.create_map(F.lit("amenity"), F.lit("cafe")),
+        )
+        .when(
+            F.col("c_custkey") % 5 == 1,
+            F.create_map(F.lit("amenity"), F.lit("bench")),
+        )
+        .otherwise(F.create_map().cast("map<string,string>"))
+        .alias("tags"),
+    )
+    ways = orders.select(
+        (F.col("o_orderkey") + 1000000).alias("id"),
+        F.array(
+            F.col("o_custkey"),
+            (F.col("o_custkey") % 100) + 1,
+            F.col("o_custkey") + 1,
+        ).alias("refs"),
+        F.create_map(
+            F.lit("amenity"),
+            F.element_at(
+                F.array(F.lit("cafe"), F.lit("fountain"), F.lit("bench")),
+                (F.col("o_orderkey") % 3 + 1).cast("int"),
+            ),
+        ).alias("tags"),
+    )
+    rels = spark.createDataFrame(
+        [],
+        "id long, members array<struct<mtype:string,mid:bigint,role:string>>, "
+        "tags map<string,string>",
+    )
+    out = objects(EntityTables(nodes, ways, rels), "amenity~cafe")
+    return out.select(
+        "id",
+        "type",
+        F.round("lon", 6).alias("lon"),
+        F.round("lat", 6).alias("lat"),
+        F.round(F.col("centroid.lon"), 6).alias("c_lon"),
+        F.round(F.col("centroid.lat"), 6).alias("c_lat"),
+        F.round(F.col("bounds.e"), 6).alias("e"),
+        F.round(F.col("bounds.n"), 6).alias("n"),
+        F.round(F.col("bounds.s"), 6).alias("s"),
+        F.round(F.col("bounds.w"), 6).alias("w"),
+    )
+
+
 def q_minhash_lsh(spark, sf_dir):
     """Banded minhash-LSH near-dup join with the md5-portable shingle
     hash: given the hashes, signatures and band membership are fully
@@ -916,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "ann_ivf": q_ann_ivf,
         "streets_e2e": q_streets_e2e,
+        "objects_e2e": q_objects_e2e,
         "hash_split": q_hash_split,
     }
 
@@ -1788,6 +1852,54 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup": _simhash_sql(10),
         "minhash_lsh": _minhash_sql(0.35, 64, 16),
         "streets_e2e": _streets_e2e_sql(),
+        "objects_e2e": """
+            WITH nodes AS (
+              -- CAST(0.1 AS DOUBLE): bare 0.1 is DECIMAL in DuckDB and
+              -- would diverge from Spark's double product in the last ulp
+              SELECT c_custkey AS id,
+                     (c_custkey % 97) * CAST(0.1 AS DOUBLE) AS lon,
+                     (c_custkey % 89) * CAST(0.1 AS DOUBLE) AS lat
+              FROM customer),
+            ways AS (
+              SELECT o_orderkey + 1000000 AS wid,
+                     o_custkey AS r1, (o_custkey % 100) + 1 AS r2,
+                     o_custkey + 1 AS r3
+              FROM orders WHERE o_orderkey % 3 = 0),
+            refs AS (
+              SELECT wid, 1 AS pos, r1 AS ref FROM ways
+              UNION ALL SELECT wid, 2, r2 FROM ways
+              UNION ALL SELECT wid, 3, r3 FROM ways),
+            -- J1: missing refs drop out via the inner join
+            rc AS (SELECT r.wid, r.pos, n.lon, n.lat
+                   FROM refs r JOIN nodes n ON n.id = r.ref),
+            seg AS (
+              SELECT wid, lon AS x0, lat AS y0,
+                     lead(lon) OVER w AS x1, lead(lat) OVER w AS y1
+              FROM rc WINDOW w AS (PARTITION BY wid ORDER BY pos)),
+            segl AS (
+              SELECT wid, sqrt(pow(x1 - x0, 2) + pow(y1 - y0, 2)) AS len,
+                     (x0 + x1) / 2 AS mx, (y0 + y1) / 2 AS my
+              FROM seg WHERE x1 IS NOT NULL),
+            cent AS (SELECT wid, sum(mx * len) / sum(len) AS c_lon,
+                            sum(my * len) / sum(len) AS c_lat
+                     FROM segl GROUP BY wid),
+            bb AS (SELECT wid, max(lon) AS e, max(lat) AS n,
+                          min(lat) AS s, min(lon) AS w
+                   FROM rc GROUP BY wid)
+            SELECT id, 'node' AS type, round(lon, 6) AS lon,
+                   round(lat, 6) AS lat,
+                   CAST(NULL AS DOUBLE) AS c_lon, CAST(NULL AS DOUBLE) AS c_lat,
+                   CAST(NULL AS DOUBLE) AS e, CAST(NULL AS DOUBLE) AS n,
+                   CAST(NULL AS DOUBLE) AS s, CAST(NULL AS DOUBLE) AS w
+            FROM nodes WHERE id % 5 = 0
+            UNION ALL
+            SELECT b.wid AS id, 'way' AS type,
+                   CAST(NULL AS DOUBLE) AS lon, CAST(NULL AS DOUBLE) AS lat,
+                   round(c.c_lon, 6) AS c_lon, round(c.c_lat, 6) AS c_lat,
+                   round(b.e, 6) AS e, round(b.n, 6) AS n,
+                   round(b.s, 6) AS s, round(b.w, 6) AS w
+            FROM bb b JOIN cent c USING (wid)
+        """,
         "embedding_neardup": _embedding_neardup_sql(0.45, 4, 64),
         "ann_lsh": _ann_lsh_sql(5, 6, 64),
         "url_canonical": _url_sql(),
