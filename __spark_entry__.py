@@ -49,6 +49,28 @@ POLY_B = [(5.55, 5.45), (9.45, 5.65), (7.55, 9.45)]
 
 KNN_QUERIES = [(1, 2.05, 3.05), (2, 7.05, 8.05), (3, 0.05, 9.95)]
 
+# 16×16 grid of disjoint convex district polygons over the derived point
+# space — the flagship PIP fan-in (also used by bench.py). Bounds land
+# off the 0.1-multiple point lattice, so no point sits on a boundary.
+GRID_POLYGONS = [
+    {
+        "key": f"P{gx:02d}{gy:02d}",
+        "polygons": [
+            [
+                [
+                    (gx * 0.625 + 0.01, gy * 0.625 + 0.01),
+                    (gx * 0.625 + 0.615, gy * 0.625 + 0.01),
+                    (gx * 0.625 + 0.615, gy * 0.625 + 0.615),
+                    (gx * 0.625 + 0.01, gy * 0.625 + 0.615),
+                    (gx * 0.625 + 0.01, gy * 0.625 + 0.01),
+                ]
+            ]
+        ],
+    }
+    for gx in range(16)
+    for gy in range(16)
+]
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -868,6 +890,16 @@ def q_hex_tiles(spark, sf_dir):
     return spatial.point_tile(pts, res=9, grid="hex").select("point_id", "tile")
 
 
+def q_flagship_rollup(spark, sf_dir):
+    """THE flagship bench pipeline, oracle-checked: fused broadcast PIP
+    (256 disjoint district polygons, first-match, None outside) + hex
+    res-9 tile encode + kernel-side partial counts. The oracle recomputes
+    ownership from the grid arithmetic and the tile id from the hex
+    mirror, then aggregates."""
+    pts = _points(spark, sf_dir)
+    return spatial.pip_tile_rollup(pts, GRID_POLYGONS, res=9, grid="hex")
+
+
 def q_quad_tiles(spark, sf_dir):
     """Hilbert quad-cell assignment at level 12 — engine grid."""
     pts = _points(spark, sf_dir)
@@ -972,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash_neardup": q_simhash_neardup,
         "hex_tiles": q_hex_tiles,
+        "flagship_rollup": q_flagship_rollup,
         "quad_tiles": q_quad_tiles,
         "ann_lsh": q_ann_lsh,
         "quality_score": q_quality_score,
@@ -1058,11 +1091,13 @@ def _quality_sql() -> str:
     """
 
 
-def _hex_tiles_sql(res: int = 9) -> str:
-    """Mirror of functions.tiles.hex_cell at `res`: axial transform with
-    the EXACT float constants the numpy kernel uses (inlined via repr),
-    banker's rounding (round_even ≡ np.round), cube-coordinate fix-up,
-    and the same 60/30/30-bit pack with int64 wraparound."""
+def _hex_chain(res: int) -> str:
+    """CTE chain mirroring functions.tiles.hex_cell at `res`, from a
+    `pts(point_id, lon, lat)` CTE to `hexed(point_id, lon, lat, tile)`:
+    axial transform with the EXACT float constants the numpy kernel uses
+    (inlined via repr), banker's rounding (round_even ≡ np.round),
+    cube-coordinate fix-up, and the same 60/30/30-bit pack with int64
+    wraparound."""
     from osm_pbf2json_spark.functions import tiles as T
 
     size = repr(float(T.hex_size(res)))
@@ -1070,24 +1105,23 @@ def _hex_tiles_sql(res: int = 9) -> str:
     c2 = repr(2.0 / 3.0)
     off = 1 << 29
     return f"""
-        WITH pts AS ({_POINTS_SQL}),
-        f AS (SELECT point_id,
+        f AS (SELECT point_id, lon, lat,
                      (({c1}) * lon - lat / 3.0) / ({size}) AS qf,
                      (({c2}) * lat) / ({size}) AS rf
               FROM pts),
-        r0 AS (SELECT point_id, qf, rf, -qf - rf AS sf,
+        r0 AS (SELECT point_id, lon, lat, qf, rf, -qf - rf AS sf,
                       round_even(qf, 0) AS q, round_even(rf, 0) AS r,
                       round_even(-qf - rf, 0) AS s
                FROM f),
-        fx AS (SELECT point_id, q, r, s,
+        fx AS (SELECT point_id, lon, lat, q, r, s,
                       abs(q - qf) AS dq, abs(r - rf) AS dr, abs(s - sf) AS ds
                FROM r0),
-        ax AS (SELECT point_id,
+        ax AS (SELECT point_id, lon, lat,
                       CASE WHEN dq > dr AND dq > ds THEN -r - s ELSE q END AS qq,
                       CASE WHEN NOT (dq > dr AND dq > ds) AND dr > ds
                            THEN -q - s ELSE r END AS rr
-               FROM fx)
-        SELECT point_id,
+               FROM fx),
+        hexed AS (SELECT point_id, lon, lat,
                CAST(({res}::HUGEINT * 1152921504606846976
                      + (CAST(qq AS BIGINT) + {off})::HUGEINT * 1073741824
                      + (CAST(rr AS BIGINT) + {off}))
@@ -1097,7 +1131,43 @@ def _hex_tiles_sql(res: int = 9) -> str:
                                 >= 9223372036854775808::HUGEINT
                            THEN 18446744073709551616::HUGEINT ELSE 0 END
                     AS BIGINT) AS tile
-        FROM ax
+        FROM ax)
+    """
+
+
+def _hex_tiles_sql(res: int = 9) -> str:
+    return f"""
+        WITH pts AS ({_POINTS_SQL}),
+        {_hex_chain(res)}
+        SELECT point_id, tile FROM hexed
+    """
+
+
+def _flagship_rollup_sql(res: int = 9) -> str:
+    """Mirror of q_flagship_rollup: grid-cell ownership recomputed from
+    the GRID_POLYGONS arithmetic (gx = floor(lon/0.625); strict interior
+    test with the same double constants — no point sits on a boundary by
+    construction), hex tile from the shared chain, then the rollup."""
+    d = "CAST(0.625 AS DOUBLE)"
+    lo = "CAST(0.01 AS DOUBLE)"
+    hi = "CAST(0.615 AS DOUBLE)"
+    return f"""
+        WITH pts AS ({_POINTS_SQL}),
+        {_hex_chain(res)},
+        g AS (SELECT tile, lon, lat,
+                     CAST(floor(lon / {d}) AS INT) AS gx,
+                     CAST(floor(lat / {d}) AS INT) AS gy
+              FROM hexed),
+        own AS (SELECT tile,
+                       CASE WHEN gx BETWEEN 0 AND 15 AND gy BETWEEN 0 AND 15
+                             AND lon > gx * {d} + {lo} AND lon < gx * {d} + {hi}
+                             AND lat > gy * {d} + {lo} AND lat < gy * {d} + {hi}
+                            THEN 'P' || lpad(CAST(gx AS VARCHAR), 2, '0')
+                                     || lpad(CAST(gy AS VARCHAR), 2, '0')
+                            ELSE NULL END AS polygon_key
+                FROM g)
+        SELECT polygon_key, tile, count(*) AS n_points
+        FROM own GROUP BY polygon_key, tile
     """
 
 
@@ -1846,6 +1916,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_score": _quality_sql(),
         "hex_tiles": _hex_tiles_sql(9),
+        "flagship_rollup": _flagship_rollup_sql(9),
         "quad_tiles": _quad_tiles_sql(12),
         "winnow_fingerprints": _winnow_sql(),
         "hash_split": _hash_split_sql(),

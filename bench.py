@@ -34,25 +34,9 @@ MULT = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "1"))
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # 16×16 grid of convex district polygons over the derived point space —
-# a realistic polygon fan-in for the broadcast PIP index
-GRID_POLYGONS = [
-    {
-        "key": f"P{gx:02d}{gy:02d}",
-        "polygons": [
-            [
-                [
-                    (gx * 0.625 + 0.01, gy * 0.625 + 0.01),
-                    (gx * 0.625 + 0.615, gy * 0.625 + 0.01),
-                    (gx * 0.625 + 0.615, gy * 0.625 + 0.615),
-                    (gx * 0.625 + 0.01, gy * 0.625 + 0.615),
-                    (gx * 0.625 + 0.01, gy * 0.625 + 0.01),
-                ]
-            ]
-        ],
-    }
-    for gx in range(16)
-    for gy in range(16)
-]
+# a realistic polygon fan-in for the broadcast PIP index (defined in the
+# driver contract so the oracle-checked q_flagship_rollup shares it)
+GRID_POLYGONS = E.GRID_POLYGONS
 
 _cached_points = {}
 
