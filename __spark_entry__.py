@@ -906,6 +906,13 @@ def q_quad_tiles(spark, sf_dir):
     return spatial.point_tile(pts, res=12, grid="quad").select("point_id", "tile")
 
 
+def q_tile_pyramid(spark, sf_dir):
+    """One-pass multi-resolution tile pyramid (levels 12/10/8) — coarse
+    cells via the Hilbert nesting bit-shift, single shuffle."""
+    pts = _points(spark, sf_dir)
+    return spatial.tile_pyramid(pts, levels=(12, 10, 8))
+
+
 def q_ann_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -1006,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_tiles": q_hex_tiles,
         "flagship_rollup": q_flagship_rollup,
         "quad_tiles": q_quad_tiles,
+        "tile_pyramid": q_tile_pyramid,
         "ann_lsh": q_ann_lsh,
         "quality_score": q_quality_score,
         "embedding_neardup": q_embedding_neardup,
@@ -1171,17 +1179,14 @@ def _flagship_rollup_sql(res: int = 9) -> str:
     """
 
 
-def _quad_tiles_sql(level: int = 12) -> str:
-    """Mirror of functions.tiles.quad_cell at `level`: lon/lat → 2^level
-    grid (truncating like .astype(int64) — inputs are non-negative after
-    the +180/+90 shift, so floor == trunc), then the classic Hilbert
-    xy→d bit-rotation unrolled as a recursive CTE, packed as
-    (level << 58) | d."""
+def _quad_chain(level: int = 12) -> str:
+    """Recursive-CTE mirror of functions.tiles.quad_cell at `level` (see
+    _quad_tiles_sql), from `pts(point_id, lon, lat)` to
+    `quadded(point_id, d)` — the raw Hilbert position, pack left to the
+    caller."""
     n = 1 << level
     s0 = 1 << (level - 1)
-    head = level << 58
     return f"""
-        WITH RECURSIVE pts AS ({_POINTS_SQL}),
         cells AS (
           SELECT point_id,
                  least(greatest(CAST(floor(((lon - (-180.0)) / 360.0) * {n}.0)
@@ -1208,9 +1213,41 @@ def _quad_tiles_sql(level: int = 12) -> str:
                             ELSE CAST(0 AS BIGINT) END AS rx,
                        CASE WHEN (y & s) > 0 THEN CAST(1 AS BIGINT)
                             ELSE CAST(0 AS BIGINT) END AS ry
-                FROM h WHERE s > 0) t)
-        SELECT point_id, CAST({head} + d AS BIGINT) AS tile
-        FROM h WHERE s = 0
+                FROM h WHERE s > 0) t),
+        quadded AS (SELECT point_id, d FROM h WHERE s = 0)
+    """
+
+
+def _quad_tiles_sql(level: int = 12) -> str:
+    """Mirror of functions.tiles.quad_cell at `level`: lon/lat → 2^level
+    grid (truncating like .astype(int64) — inputs are non-negative after
+    the +180/+90 shift, so floor == trunc), then the classic Hilbert
+    xy→d bit-rotation unrolled as a recursive CTE, packed as
+    (level << 58) | d."""
+    return f"""
+        WITH RECURSIVE pts AS ({_POINTS_SQL}),
+        {_quad_chain(level)}
+        SELECT point_id, CAST({level << 58} + d AS BIGINT) AS tile
+        FROM quadded
+    """
+
+
+def _tile_pyramid_sql(levels=(12, 10, 8)) -> str:
+    """Mirror of spatial.tile_pyramid: finest Hilbert position from the
+    recursive chain, coarser cells by dropping 2 bits per level step
+    (the nesting property), counts per (level, cell)."""
+    finest = max(levels)
+    sel = "\n          UNION ALL ".join(
+        f"SELECT point_id, {l} AS level, "
+        f"CAST({l << 58} + (d >> {2 * (finest - l)}) AS BIGINT) AS cell FROM quadded"
+        for l in sorted(set(levels), reverse=True)
+    )
+    return f"""
+        WITH RECURSIVE pts AS ({_POINTS_SQL}),
+        {_quad_chain(finest)},
+        lv AS ({sel})
+        SELECT level, cell, count(*) AS n_points
+        FROM lv GROUP BY level, cell
     """
 
 
@@ -1918,6 +1955,7 @@ def oracle_sql() -> dict[str, str]:
         "hex_tiles": _hex_tiles_sql(9),
         "flagship_rollup": _flagship_rollup_sql(9),
         "quad_tiles": _quad_tiles_sql(12),
+        "tile_pyramid": _tile_pyramid_sql((12, 10, 8)),
         "winnow_fingerprints": _winnow_sql(),
         "hash_split": _hash_split_sql(),
         "simhash_neardup": _simhash_sql(10),

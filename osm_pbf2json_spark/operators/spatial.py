@@ -398,6 +398,39 @@ def tiles_to_geometries(assignments: DataFrame) -> DataFrame:
     )
 
 
+def tile_pyramid(
+    points: DataFrame,
+    levels=(12, 10, 8),
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Multi-resolution quad-cell histogram (raster tile pyramid) in ONE
+    input pass and ONE shuffle: the finest cell is encoded once, coarser
+    cells derive from the Hilbert nesting property (drop 2 position bits
+    per level step — functions/tiles.py:quad_parent) as pure Catalyst
+    expressions, exploded and aggregated with map-side combine. The
+    alternative — one groupBy per zoom level — re-reads the input
+    len(levels) times; at 100 TB that is the whole job cost.
+
+    Returns (level, cell, n_points)."""
+    finest = max(levels)
+    pts = point_tile(points, res=finest, grid="quad")
+    pos = F.col("tile").bitwiseAND(F.lit((1 << 58) - 1))
+    entries = [
+        F.struct(
+            F.lit(l).alias("level"),
+            (F.lit(l << 58) + F.shiftright(pos, 2 * (finest - l))).alias("cell"),
+        )
+        for l in sorted(set(levels), reverse=True)
+    ]
+    return (
+        pts.select(F.explode(F.array(*entries)).alias("e"))
+        .select(F.col("e.level").alias("level"), F.col("e.cell").alias("cell"))
+        .groupBy("level", "cell")
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
 def point_tile(points: DataFrame, res: int, lon_col="lon", lat_col="lat", grid="hex"):
     """Column helper: tile id of each point (one pandas_udf call per batch)."""
     if grid == "hex":

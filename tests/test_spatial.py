@@ -188,3 +188,28 @@ def test_pip_join_cells_level_consistent(spark):
     for level in (8, 12, 14):
         got = {(r["id"], r["key"]) for r in S.pip_join_cells(_points(spark), polys, level=level).collect()}
         assert got == want, f"level {level} mismatch: {got}"
+
+
+def test_tile_pyramid_hierarchy(spark):
+    """One-pass pyramid: each level's counts sum to the input size, and
+    every child cell's parent (drop 2 bits per level step) carries at
+    least the child's count — the Hilbert nesting invariant."""
+    import pyspark.sql.functions as F
+
+    pts = spark.range(0, 500).select(
+        F.col("id").alias("point_id"),
+        ((F.col("id") % 87) * 0.11 - 3.0).alias("lon"),
+        ((F.col("id") % 53) * 0.13 - 2.0).alias("lat"),
+    )
+    out = S.tile_pyramid(pts, levels=(12, 10, 8)).collect()
+    by_level = {}
+    for r in out:
+        by_level.setdefault(r["level"], {})[r["cell"]] = r["n_points"]
+    assert set(by_level) == {8, 10, 12}
+    for lvl, cells in by_level.items():
+        assert sum(cells.values()) == 500, lvl
+    for child_lvl, parent_lvl in ((12, 10), (10, 8)):
+        for cell, n in by_level[child_lvl].items():
+            pos = cell & ((1 << 58) - 1)
+            parent = (parent_lvl << 58) | (pos >> (2 * (child_lvl - parent_lvl)))
+            assert by_level[parent_lvl][parent] >= n
