@@ -65,10 +65,43 @@ def flagship(spark, sf_dir):
     return spatial.pip_tile_rollup(pts, GRID_POLYGONS, res=9, grid="hex")
 
 
+def j6_scaled(spark, sf_dir):
+    """bbox self-join on a DENSITY-PRESERVING replication: each replica
+    island is offset by 10.5° (far beyond box size + pad), so pair count
+    grows linearly with input — a fair scaling measurement, unlike
+    replicating rows in place (which squares the per-cell pair work)."""
+    mult = max(1, min(MULT, 4))
+    orders = E._t(spark, sf_dir, "orders")
+    rep = orders.withColumn(
+        "_m", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
+    )
+    ox = (F.col("_m") % 4) * F.lit(10.5)
+    oy = (F.col("_m") / 4).cast("int") * F.lit(10.5)
+    boxes = rep.select(
+        (F.col("o_orderkey") * mult + F.col("_m")).alias("id"),
+        ((F.col("o_orderkey") % 100) * F.lit(0.1) + ox).alias("x0"),
+        ((F.col("o_custkey") % 100) * F.lit(0.1) + oy).alias("y0"),
+        (
+            (F.col("o_orderkey") % 100) * F.lit(0.1)
+            + F.lit(0.03)
+            + (F.col("o_orderkey") % 7) * F.lit(0.01)
+            + ox
+        ).alias("x1"),
+        (
+            (F.col("o_custkey") % 100) * F.lit(0.1)
+            + F.lit(0.03)
+            + (F.col("o_custkey") % 5) * F.lit(0.01)
+            + oy
+        ).alias("y1"),
+    )
+    return spatial.bbox_self_join(boxes, pad=0.002, cell=0.25)
+
+
 BENCH_QUERIES = {
     "flagship_pip_tile": flagship,
     "j1_ordered_resolution": E.q_j1_ordered_resolution,
     "j6_bbox_self_join": E.q_j6_bbox_self_join,
+    "j6_scaled": j6_scaled,
     "knn": E.q_knn,
     "agg_pricing": E.q_agg_pricing,
     "minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(

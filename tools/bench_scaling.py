@@ -72,7 +72,7 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     mult = os.environ.get("SPARK_GRAFT_BENCH_MULT", "64")
     queries = os.environ.get(
-        "SPARK_GRAFT_BENCH_QUERIES", "flagship_pip_tile,j6_bbox_self_join"
+        "SPARK_GRAFT_BENCH_QUERIES", "flagship_pip_tile,j6_scaled"
     )
     # The box has co-tenant interference (load spikes with no local
     # process): run each level REPEATS times interleaved and keep the
