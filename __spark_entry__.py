@@ -554,6 +554,21 @@ def q_url_dedup(spark, sf_dir):
     )
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style intra-doc repetition: duplicate-word fraction + top
+    word-bigram fraction, pure Catalyst, mirrored in DuckDB list ops."""
+    from osm_pbf2json_spark.functions.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    s = repetition_stats(F.col("text"))
+    return docs.select(
+        "doc_id",
+        s["n_words"].alias("n_words"),
+        F.round(s["dup_word_frac"], 6).alias("dup_word_frac"),
+        F.round(s["top_bigram_frac"], 6).alias("top_bigram_frac"),
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k vs the corpus itself (query = vec 0)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1016,6 +1031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid": q_tile_pyramid,
         "ann_lsh": q_ann_lsh,
         "quality_score": q_quality_score,
+        "repetition": q_repetition,
         "embedding_neardup": q_embedding_neardup,
         "winnow_fingerprints": q_winnow_fingerprints,
         "ann_ivf": q_ann_ivf,
@@ -1952,6 +1968,31 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
         """,
         "quality_score": _quality_sql(),
+        "repetition": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            b AS (
+              SELECT doc_id, ws, len(ws) AS n,
+                     CASE WHEN len(ws) >= 2
+                          THEN list_transform(range(1, len(ws)),
+                                              i -> ws[i] || ' ' || ws[i + 1])
+                          ELSE [] END AS bg
+              FROM t)
+            SELECT doc_id,
+                   CAST(n AS INT) AS n_words,
+                   round(CASE WHEN n > 0
+                              THEN 1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / n
+                              ELSE 0.0 END, 6) AS dup_word_frac,
+                   round(CASE WHEN len(bg) > 0
+                              THEN CAST(list_max(list_transform(list_distinct(bg),
+                                       x -> len(list_filter(bg, y -> y = x))))
+                                   AS DOUBLE) / len(bg)
+                              ELSE 0.0 END, 6) AS top_bigram_frac
+            FROM b
+        """,
         "hex_tiles": _hex_tiles_sql(9),
         "flagship_rollup": _flagship_rollup_sql(9),
         "quad_tiles": _quad_tiles_sql(12),

@@ -104,6 +104,44 @@ def lang_id(text: Column) -> Column:
     return F.when(expr["s"] > 0, expr["lang"]).otherwise(F.lit("und"))
 
 
+def repetition_stats(text: Column) -> dict[str, Column]:
+    """Gopher-style intra-document repetition signals (quality filters
+    drop docs dominated by repeated content) — pure Column expressions:
+
+    - `dup_word_frac`: 1 − |distinct words| / |words| (0 when empty)
+    - `top_bigram_frac`: occurrences of the most frequent word bigram
+      over total bigrams (0 when < 2 words)
+
+    The per-row mode computation is O(distinct² ) in array ops, which is
+    bounded by document length — it stays inside whole-stage codegen and
+    never shuffles, so at corpus scale it is a cheap map-side pass."""
+    ws = words(text)
+    n = F.size(ws)
+    dup_word = F.when(
+        n > 0, 1.0 - F.size(F.array_distinct(ws)).cast("double") / n
+    ).otherwise(0.0)
+    bg = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.array_join(F.slice(ws, i + 1, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    nbg = F.size(bg)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(bg),
+            lambda x: F.size(F.filter(bg, lambda y: y == x)),
+        )
+    )
+    top_bigram = F.when(nbg > 0, top.cast("double") / nbg).otherwise(0.0)
+    return {
+        "n_words": n,
+        "dup_word_frac": dup_word,
+        "top_bigram_frac": top_bigram,
+    }
+
+
 def normalize(text: Column) -> Column:
     """Dedup normalization: lower, collapse whitespace, strip punctuation."""
     t = F.lower(text)

@@ -512,3 +512,33 @@ def test_ppm_decode():
     assert sniff_format(payload) == "ppm"
     w, h, back = decode_ppm(payload)
     assert (w, h) == (2, 2) and (back == rgb).all()
+
+
+def test_repetition_stats(spark):
+    """Gopher-style repetition goldens: crafted docs with known
+    duplicate-word and top-bigram fractions."""
+    from osm_pbf2json_spark.functions.text import repetition_stats
+
+    rows = [
+        (1, "a b c d"),            # all distinct: dup 0, top bigram 1/3
+        (2, "spam spam spam spam"),  # dup 3/4, bigram 'spam spam' 3/3
+        (3, "x y x y x"),          # dup 3/5; bigrams: xy yx xy yx -> 2/4
+        (4, "solo"),               # single word: no bigrams
+    ]
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    s = repetition_stats(F.col("text"))
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            s["n_words"].alias("n"),
+            F.round(s["dup_word_frac"], 6).alias("dw"),
+            F.round(s["top_bigram_frac"], 6).alias("tb"),
+        ).collect()
+    }
+    assert got[1]["dw"] == 0.0 and abs(got[1]["tb"] - 1 / 3) < 1e-6
+    assert got[2]["dw"] == 0.75 and got[2]["tb"] == 1.0
+    assert got[3]["dw"] == 0.6 and got[3]["tb"] == 0.5
+    assert got[4]["n"] == 1 and got[4]["tb"] == 0.0
