@@ -137,28 +137,39 @@ def minhash_signatures(
     shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig array<long>[num_perm]) minhash signatures, fully JVM-side:
-    per-shingle permuted hashes via transform over literal coefficients,
-    positional mins via posexplode + groupBy(id, pos).
+    num_perm `min((a_i·x + b_i) mod p)` AGGREGATES over the shingle
+    table — whole-stage codegen, partial aggregation (map-side combine),
+    zero Python.
 
     Pass `shingle_df` (a precomputed `(id, h)` shingle table) to share one
     normalize→shingle→hash pass with a downstream exact-verify stage."""
     a, b = _perm_coeffs(num_perm, seed)
     sh = shingle_df if shingle_df is not None else _shingle_table(df, text_col, id_col, n)
-    # one shuffle of (id, h); the num_perm× blowup happens inside a
-    # vectorized Arrow kernel instead of through the exchange
-    grouped = sh.groupBy("id").agg(F.collect_list("h").alias("hs"))
-
-    def sig(hs: pd.Series) -> pd.Series:
-        out = []
-        for arr in hs:
-            x = np.abs(np.asarray(arr, dtype=np.int64)) % _MERSENNE_P
-            # (a·x + b) mod p; a,x < 2^31 keeps products within int64
-            m = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE_P
-            out.append(m.min(axis=1).tolist())
-        return pd.Series(out)
-
-    sig_udf = F.pandas_udf(sig, "array<long>")
-    return grouped.select("id", sig_udf("hs").alias("sig"))
+    # num_perm min-AGGREGATES, 100% Catalyst: partial (map-side) combine
+    # shrinks the exchange from every (id, hash) row to num_perm longs
+    # per id per partition — at 10^12 docs this is the difference between
+    # shuffling the whole shingle table and shuffling ~0.5 KB per doc.
+    # (The previous shape — collect_list + Arrow kernel — shipped every
+    # hash through the shuffle and through Python.)
+    i64min = -(1 << 63)
+    x = F.pmod(
+        # numpy parity incl. the 1-in-2^64 edge: np.abs(INT64_MIN) wraps
+        # to INT64_MIN and numpy's % still returns the nonneg remainder,
+        # which is exactly Spark's pmod on the raw value; F.abs would
+        # throw under ANSI for that input.
+        F.when(F.col("h") == i64min, F.col("h")).otherwise(F.abs(F.col("h"))),
+        F.lit(_MERSENNE_P),
+    )
+    mins = [
+        F.min((F.lit(int(a[i])) * x + F.lit(int(b[i]))) % F.lit(_MERSENNE_P)).alias(
+            f"_s{i}"
+        )
+        for i in range(num_perm)
+    ]
+    grouped = sh.groupBy("id").agg(*mins)
+    return grouped.select(
+        "id", F.array(*[F.col(f"_s{i}") for i in range(num_perm)]).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
