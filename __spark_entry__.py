@@ -554,6 +554,15 @@ def q_url_dedup(spark, sf_dir):
     )
 
 
+def q_contamination(spark, sf_dir):
+    """Decontamination: distinct eval 5-gram hits per train doc (eval =
+    every 50th doc, so hits are guaranteed and near-dups surface too);
+    eval gram set broadcast, train side never shuffled by gram."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    return dedup.contamination_hits(docs, ev, n=5).select("id", "n_hits")
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style intra-doc repetition: duplicate-word fraction + top
     word-bigram fraction, pure Catalyst, mirrored in DuckDB list ops."""
@@ -1032,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "quality_score": q_quality_score,
         "repetition": q_repetition,
+        "contamination": q_contamination,
         "embedding_neardup": q_embedding_neardup,
         "winnow_fingerprints": q_winnow_fingerprints,
         "ann_ivf": q_ann_ivf,
@@ -1968,6 +1978,23 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
         """,
         "quality_score": _quality_sql(),
+        "contamination": f"""
+            WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+            ws AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+            gpos AS (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+                     FROM ws WHERE len(w) >= 5),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(w, i, i + 4), ' ') AS g
+              FROM gpos
+              UNION
+              SELECT doc_id, array_to_string(w, ' ') AS g
+              FROM ws WHERE len(w) < 5),
+            ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
+            SELECT grams.doc_id AS id, count(*) AS n_hits
+            FROM grams JOIN ev USING (g)
+            GROUP BY grams.doc_id
+        """,
         "repetition": """
             WITH t AS (
               SELECT doc_id,

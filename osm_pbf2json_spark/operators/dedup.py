@@ -248,6 +248,57 @@ def minhash_lsh_pairs(
     )
 
 
+def contamination_hits(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    hash: str = "xxh",
+) -> DataFrame:
+    """(train id, n_hits): how many DISTINCT eval n-grams each train doc
+    contains — benchmark decontamination (the step that keeps eval data
+    out of a training corpus).
+
+    Scale shape: the eval side reduces to a distinct gram-hash set and
+    is BROADCAST (eval suites are 10^4–10^7 grams); the 10^12-doc train
+    side streams through one explode + broadcast-hash-join + count —
+    never shuffled by gram key. The shingle table is distinct per
+    (id, gram), so count(*) after the join is already the distinct-hit
+    count (no expensive count(DISTINCT))."""
+    tr = _shingle_table(train, text_col, id_col, n, hash=hash)
+    ev = (
+        _shingle_table(eval_df, eval_text_col or text_col, id_col, n, hash=hash)
+        .select("h")
+        .distinct()
+    )
+    return (
+        tr.join(F.broadcast(ev), "h")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_hits: int = 1,
+    hash: str = "xxh",
+) -> DataFrame:
+    """Train rows with fewer than `min_hits` eval n-gram hits (anti-join
+    against the flagged set) — the output corpus is safe to train on."""
+    flagged = contamination_hits(
+        train, eval_df, n=n, text_col=text_col, id_col=id_col, hash=hash
+    ).filter(F.col("n_hits") >= min_hits)
+    return train.join(
+        flagged.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     a_col: str = "a",

@@ -542,3 +542,25 @@ def test_repetition_stats(spark):
     assert got[2]["dw"] == 0.75 and got[2]["tb"] == 1.0
     assert got[3]["dw"] == 0.6 and got[3]["tb"] == 0.5
     assert got[4]["n"] == 1 and got[4]["tb"] == 0.0
+
+
+def test_contamination_and_decontaminate(spark):
+    """Eval docs and their superstrings are flagged; unrelated docs
+    survive decontamination."""
+    from osm_pbf2json_spark.operators.dedup import contamination_hits, decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "an entirely different sentence about spark and shuffles here"),
+            (3, "prefix words then the quick brown fox jumps over more text"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    hits = {r["id"]: r["n_hits"] for r in contamination_hits(train, ev, n=5).collect()}
+    assert hits.get(1) == 1 and hits.get(3) == 1 and 2 not in hits
+    clean = sorted(r["doc_id"] for r in decontaminate(train, ev, n=5).collect())
+    assert clean == [2]
