@@ -959,6 +959,33 @@ def q_ann_ivf(spark, sf_dir):
     return out.select("neighbor_id", "rank")
 
 
+def _ivf_fixed_centroids(n: int = 8, dim: int = 64, seed: int = 7):
+    """Deterministic unit-norm quantizer for the oracle-checked IVF
+    assignment/probe path (training is exercised separately, rows-only,
+    in q_ann_ivf)."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    c = rng.normal(size=(n, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def q_ivf_assign(spark, sf_dir):
+    """IVF assignment + n_probe scan + exact re-rank against a FIXED
+    quantizer (the production shape: train once, reuse across query
+    batches) — fully oracle-mirrorable argmax assignment."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = ann.cosine_topk_ivf(
+        emb,
+        [(0, [float(x) for x in qv])],
+        k=5,
+        n_probe=3,
+        centroids=_ivf_fixed_centroids(),
+    )
+    return out.select("neighbor_id", "rank")
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Rolling-hash (winnowing) fingerprints — count per doc (pure Catalyst)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1045,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "winnow_fingerprints": q_winnow_fingerprints,
         "ann_ivf": q_ann_ivf,
+        "ivf_assign": q_ivf_assign,
         "streets_e2e": q_streets_e2e,
         "objects_e2e": q_objects_e2e,
         "hash_split": q_hash_split,
@@ -1614,6 +1642,53 @@ def _url_sql(path_mod: int | None = None, dedup: bool = False) -> str:
     """
 
 
+def _ivf_assign_sql(k: int = 5, n_probe: int = 3) -> str:
+    """Mirror of q_ivf_assign: per-vector argmax cell over the fixed
+    unit-norm centroids (first-index-wins tie rule = np.argmax), probe
+    cells = top n_probe by query dot (desc, index asc), exact cosine
+    re-rank over the probed cells."""
+    C = _ivf_fixed_centroids()
+    n = len(C)
+    lits = [
+        "[" + ",".join(repr(float(x)) for x in C[i]) + "]" for i in range(n)
+    ]
+    dots = ", ".join(
+        f"list_inner_product(u, {lits[i]}) AS d{i}" for i in range(n)
+    )
+    argmax = ""
+    for i in range(n - 1):
+        rest = ",".join(f"d{j}" for j in range(i + 1, n))
+        argmax += f"WHEN d{i} >= greatest({rest}) THEN {i} "
+    cell_case = f"CASE {argmax}ELSE {n - 1} END"
+    qsort = "CASE c.cell " + " ".join(
+        f"WHEN {i} THEN q.d{i}" for i in range(n)
+    ) + " END"
+    cells_values = ",".join(f"({i})" for i in range(n))
+    return f"""
+        WITH b AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        nv AS (SELECT nid, v,
+                      list_transform(v, x -> x /
+                          (sqrt(list_inner_product(v, v)) + 1e-12)) AS u
+               FROM b),
+        d AS (SELECT nid, v, {dots} FROM nv),
+        cl AS (SELECT nid, v, {cell_case} AS cell FROM d),
+        q AS (SELECT * FROM d WHERE nid = 0),
+        pc AS (SELECT c.cell
+               FROM (VALUES {cells_values}) AS c(cell), q
+               ORDER BY {qsort} DESC, c.cell
+               LIMIT {n_probe}),
+        s AS (SELECT cl.nid AS neighbor_id,
+                     list_inner_product(cl.v, q.v)
+                     / (sqrt(list_inner_product(cl.v, cl.v))
+                      * sqrt(list_inner_product(q.v, q.v))) AS cosine
+              FROM cl JOIN pc USING (cell) CROSS JOIN q)
+        SELECT neighbor_id,
+               row_number() OVER (ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM s QUALIFY rank <= {k}
+    """
+
+
 def _hash_split_sql(fractions=(0.9, 0.05, 0.05), seed: int = 42) -> str:
     """Mirror of sampling.hash_split(method='md5'): identical md5 hex
     prefix compared against identical thresholds (generated by the same
@@ -2079,6 +2154,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_neardup": _embedding_neardup_sql(0.45, 4, 64),
         "ann_lsh": _ann_lsh_sql(5, 6, 64),
+        "ivf_assign": _ivf_assign_sql(5, 3),
         "url_canonical": _url_sql(),
         "url_dedup": _url_sql(path_mod=1000, dedup=True),
     }

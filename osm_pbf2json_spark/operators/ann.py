@@ -120,6 +120,7 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    centroids=None,
 ) -> DataFrame:
     """IVF scale path: corpus partitioned into centroid cells once; each
     query scans only its `n_probe` nearest cells with exact cosine
@@ -128,13 +129,21 @@ def cosine_topk_ivf(
 
     n_centroids="auto" sizes the quantizer to ~sqrt(corpus rows)
     (clamped to [16, 4096]) — index build is O(N) anyway, so the count
-    is amortized into the build."""
+    is amortized into the build.
+
+    Pass `centroids` (array-like, one row per centroid) to skip training
+    — the production pattern where the quantizer is trained once and
+    reused across many query batches, and the path external audits can
+    reproduce exactly (assignment is a pure argmax over fixed vectors)."""
     from ..plans.partitioning import widen_narrow_input
 
     df = widen_narrow_input(df)
-    if n_centroids == "auto":
-        n_centroids = int(min(4096, max(16, df.count() ** 0.5)))
-    cents = train_ivf_centroids(df, n_centroids, vec_col=vec_col, seed=seed)
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=np.float64)
+    else:
+        if n_centroids == "auto":
+            n_centroids = int(min(4096, max(16, df.count() ** 0.5)))
+        cents = train_ivf_centroids(df, n_centroids, vec_col=vec_col, seed=seed)
 
     def assign(vecs: pd.Series) -> pd.Series:
         m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
