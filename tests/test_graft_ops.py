@@ -564,3 +564,59 @@ def test_contamination_and_decontaminate(spark):
     assert hits.get(1) == 1 and hits.get(3) == 1 and 2 not in hits
     clean = sorted(r["doc_id"] for r in decontaminate(train, ev, n=5).collect())
     assert clean == [2]
+
+
+def test_merge_signatures_equals_full(spark):
+    """Mergeability: signatures of two shingle-table halves, elementwise
+    min-merged, equal the signatures of the full table."""
+    import pyspark.sql.functions as F
+    from osm_pbf2json_spark.operators.dedup import (
+        _shingle_table,
+        merge_signatures,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    sh = _shingle_table(docs, "text", "doc_id", 3).cache()
+    half_a = sh.filter(F.pmod(F.col("h"), 2) == 0)
+    half_b = sh.filter(F.pmod(F.col("h"), 2) != 0)
+    full = minhash_signatures(docs, shingle_df=sh)
+    merged = merge_signatures(
+        minhash_signatures(docs, shingle_df=half_a),
+        minhash_signatures(docs, shingle_df=half_b),
+    )
+    diff = (
+        full.alias("f")
+        .join(merged.alias("m"), "id")
+        .filter(F.col("f.sig") != F.col("m.sig"))
+        .count()
+    )
+    assert diff == 0
+    assert full.count() == merged.count()
+
+
+def test_url_canonicalize_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) over the full combinatorial
+    grid of schemes x hosts x ports x paths x queries x fragments."""
+    import itertools
+
+    import pyspark.sql.functions as F
+
+    from osm_pbf2json_spark.functions.urls import canonicalize_url
+
+    parts = itertools.product(
+        ["http", "HTTPS", "ftp"],
+        ["Example.COM", "www.a.b.co.uk", "x.org"],
+        ["", ":80", ":443", ":8080"],
+        ["", "/", "/P/q", "/a%20b"],
+        ["", "?b=2&a=1", "?utm_source=x", "?utm_source=x&z=9&y=8"],
+        ["", "#Frag"],
+    )
+    urls = [(f"{s}://{h}{po}{pa}{q}{fr}",) for s, h, po, pa, q, fr in parts]
+    df = spark.createDataFrame(urls, "url string")
+    out = df.select(
+        canonicalize_url(F.col("url")).alias("c1"),
+        canonicalize_url(canonicalize_url(F.col("url"))).alias("c2"),
+    )
+    bad = out.filter(F.col("c1") != F.col("c2")).collect()
+    assert not bad, bad[:5]
