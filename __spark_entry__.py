@@ -885,6 +885,47 @@ def q_objects_e2e(spark, sf_dir):
     )
 
 
+def q_objects_poly(spark, sf_dir):
+    """objects() polygon branch at generator scale: CLOSED ways (refs
+    [a,b,c,a]) take the shoelace-centroid path; degenerate zero-area
+    rings fall back to the line centroid exactly like geo 0.14 — the
+    oracle mirrors both branches."""
+    from osm_pbf2json_spark.operators.closure import EntityTables
+    from osm_pbf2json_spark.operators.objects import objects
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nodes = cust.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") % 97) * F.lit(0.1)).alias("lon"),
+        ((F.col("c_custkey") % 89) * F.lit(0.1)).alias("lat"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    a = F.col("o_custkey")
+    b = (F.col("o_custkey") % 100) + 1
+    c = ((F.col("o_custkey") * 7) % 100) + 1
+    ways = orders.select(
+        (F.col("o_orderkey") + 2000000).alias("id"),
+        F.array(a, b, c, a).alias("refs"),
+        F.create_map(F.lit("amenity"), F.lit("cafe")).alias("tags"),
+    )
+    rels = spark.createDataFrame(
+        [],
+        "id long, members array<struct<mtype:string,mid:bigint,role:string>>, "
+        "tags map<string,string>",
+    )
+    out = objects(EntityTables(nodes, ways, rels), "amenity~cafe")
+    return out.filter(F.col("type") == "way").select(
+        "id",
+        F.round(F.col("centroid.lon"), 6).alias("c_lon"),
+        F.round(F.col("centroid.lat"), 6).alias("c_lat"),
+        F.round(F.col("bounds.e"), 6).alias("e"),
+        F.round(F.col("bounds.n"), 6).alias("n"),
+        F.round(F.col("bounds.s"), 6).alias("s"),
+        F.round(F.col("bounds.w"), 6).alias("w"),
+    )
+
+
 def q_minhash_lsh(spark, sf_dir):
     """Banded minhash-LSH near-dup join with the md5-portable shingle
     hash: given the hashes, signatures and band membership are fully
@@ -1075,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": q_ivf_assign,
         "streets_e2e": q_streets_e2e,
         "objects_e2e": q_objects_e2e,
+        "objects_poly": q_objects_poly,
         "hash_split": q_hash_split,
     }
 
@@ -2104,6 +2146,54 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup": _simhash_sql(10),
         "minhash_lsh": _minhash_sql(0.35, 64, 16),
         "streets_e2e": _streets_e2e_sql(),
+        "objects_poly": """
+            WITH nodes AS (
+              SELECT c_custkey AS id,
+                     (c_custkey % 97) * CAST(0.1 AS DOUBLE) AS lon,
+                     (c_custkey % 89) * CAST(0.1 AS DOUBLE) AS lat
+              FROM customer),
+            ways AS (
+              SELECT o_orderkey + 2000000 AS wid,
+                     o_custkey AS r1, (o_custkey % 100) + 1 AS r2,
+                     ((o_custkey * 7) % 100) + 1 AS r3, o_custkey AS r4
+              FROM orders),
+            refs AS (
+              SELECT wid, 1 AS pos, r1 AS ref FROM ways
+              UNION ALL SELECT wid, 2, r2 FROM ways
+              UNION ALL SELECT wid, 3, r3 FROM ways
+              UNION ALL SELECT wid, 4, r4 FROM ways),
+            rc AS (SELECT r.wid, r.pos, n.lon AS x, n.lat AS y
+                   FROM refs r JOIN nodes n ON n.id = r.ref),
+            seg AS (
+              SELECT wid, x AS x0, y AS y0,
+                     lead(x) OVER w AS x1, lead(y) OVER w AS y1
+              FROM rc WINDOW w AS (PARTITION BY wid ORDER BY pos)),
+            sh AS (
+              SELECT wid,
+                     sum(x0 * y1 - x1 * y0) AS area2,
+                     sum((x0 + x1) * (x0 * y1 - x1 * y0)) AS sx,
+                     sum((y0 + y1) * (x0 * y1 - x1 * y0)) AS sy
+              FROM seg WHERE x1 IS NOT NULL GROUP BY wid),
+            -- geo 0.14 fallback: zero-area ring -> linestring centroid
+            lc AS (
+              SELECT wid,
+                     sum((x0 + x1) / 2 * sqrt(pow(x1 - x0, 2) + pow(y1 - y0, 2)))
+                       / sum(sqrt(pow(x1 - x0, 2) + pow(y1 - y0, 2))) AS c_lon,
+                     sum((y0 + y1) / 2 * sqrt(pow(x1 - x0, 2) + pow(y1 - y0, 2)))
+                       / sum(sqrt(pow(x1 - x0, 2) + pow(y1 - y0, 2))) AS c_lat
+              FROM seg WHERE x1 IS NOT NULL GROUP BY wid),
+            bb AS (SELECT wid, max(x) AS e, max(y) AS n,
+                          min(y) AS s, min(x) AS w
+                   FROM rc GROUP BY wid)
+            SELECT b.wid AS id,
+                   round(CASE WHEN sh.area2 = 0 THEN lc.c_lon
+                              ELSE sh.sx / (3.0 * sh.area2) END, 6) AS c_lon,
+                   round(CASE WHEN sh.area2 = 0 THEN lc.c_lat
+                              ELSE sh.sy / (3.0 * sh.area2) END, 6) AS c_lat,
+                   round(b.e, 6) AS e, round(b.n, 6) AS n,
+                   round(b.s, 6) AS s, round(b.w, 6) AS w
+            FROM bb b JOIN sh USING (wid) JOIN lc USING (wid)
+        """,
         "objects_e2e": """
             WITH nodes AS (
               -- CAST(0.1 AS DOUBLE): bare 0.1 is DECIMAL in DuckDB and
