@@ -1385,6 +1385,19 @@ def _winnow_sql(k: int = 5, w: int = 4) -> str:
     """
 
 
+def _md5_h64_sql(col: str) -> str:
+    """DuckDB mirror of dedup._md5_h64: first 64 bits of md5 as a signed
+    int64 (two 32-bit hex parses, explicit two's-complement wraparound).
+    Single definition shared by every oracle that mirrors an md5-portable
+    hash path — the wrap rule lives in exactly one place."""
+    return (
+        f"CAST((('0x' || substring(md5({col}), 1, 8))::BIGINT::HUGEINT * 4294967296"
+        f" + ('0x' || substring(md5({col}), 9, 8))::BIGINT)"
+        f" - CASE WHEN ('0x' || substring(md5({col}), 1, 8))::BIGINT >= 2147483648"
+        f"        THEN 18446744073709551616::HUGEINT ELSE 0 END AS BIGINT)"
+    )
+
+
 def _simhash_sql(max_hamming: int = 10) -> str:
     """Mirror of dedup.simhash_neardup_pairs(hash='md5') as an all-pairs
     filter: per-token 64-bit md5 hash (two 32-bit hex parses, int64
@@ -1394,12 +1407,7 @@ def _simhash_sql(max_hamming: int = 10) -> str:
     tok = (
         f"SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS w FROM documents"
     )
-    h = (
-        "CAST((('0x' || substring(md5(w), 1, 8))::BIGINT::HUGEINT * 4294967296"
-        " + ('0x' || substring(md5(w), 9, 8))::BIGINT)"
-        " - CASE WHEN ('0x' || substring(md5(w), 1, 8))::BIGINT >= 2147483648"
-        "        THEN 18446744073709551616::HUGEINT ELSE 0 END AS BIGINT)"
-    )
+    h = _md5_h64_sql("w")
     votes = ", ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
         for b in range(64)
@@ -1442,12 +1450,7 @@ def _minhash_sql(
     perm_vals = ",".join(f"({i},{int(a[i])},{int(b[i])})" for i in range(num_perm))
     rpb = num_perm // bands
     p = _MERSENNE_P
-    h64 = (
-        "CAST((('0x' || substring(md5(g), 1, 8))::BIGINT::HUGEINT * 4294967296"
-        " + ('0x' || substring(md5(g), 9, 8))::BIGINT)"
-        " - CASE WHEN ('0x' || substring(md5(g), 1, 8))::BIGINT >= 2147483648"
-        "        THEN 18446744073709551616::HUGEINT ELSE 0 END AS BIGINT)"
-    )
+    h64 = _md5_h64_sql("g")
     return f"""
         WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
         ws AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
@@ -1661,6 +1664,7 @@ def _url_sql(path_mod: int | None = None, dedup: bool = False) -> str:
           FROM u),
         canon AS (
           SELECT id,
+                 url,
                  scheme,
                  CASE WHEN scheme = 'http' AND host0 LIKE '%:80'
                       THEN substr(host0, 1, length(host0) - 3)
@@ -1672,13 +1676,16 @@ def _url_sql(path_mod: int | None = None, dedup: bool = False) -> str:
                  -- (Spark array_join gives '') — align with coalesce
                  coalesce(array_to_string(list_sort(list_filter(
                      string_split(regexp_replace(rawq, '^\\?', ''), '&'),
-                     p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}'))),
+                     p -> p <> '' AND NOT regexp_matches(lower(p), '{TRACKING_PARAM_RE}'))),
                    '&'), '') AS q
           FROM parts),
         curl AS (
+          -- non-matching URLs pass through unchanged (engine rule)
           SELECT id,
-                 scheme || '://' || host || path
-                 || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
+                 CASE WHEN scheme = '' THEN url
+                      ELSE scheme || '://' || host || path
+                           || CASE WHEN q = '' THEN '' ELSE '?' || q END
+                 END AS canonical_url
           FROM canon)
         {final}
     """
@@ -1739,8 +1746,11 @@ def _hash_split_sql(fractions=(0.9, 0.05, 0.05), seed: int = 42) -> str:
     h = f"substring(md5(concat_ws('|', CAST(doc_id AS VARCHAR), '{seed}')), 1, 8)"
     expr = str(len(fractions) - 1)
     for i in reversed(range(len(fractions) - 1)):
-        thr = format(int(sum(fractions[: i + 1]) * (16**8)), "08x")
-        expr = f"CASE WHEN {h} < '{thr}' THEN {i} ELSE {expr} END"
+        thr_int = int(sum(fractions[: i + 1]) * (16**8))
+        if thr_int >= 16**8:  # mirror the engine's saturated-boundary rule
+            expr = str(i)
+        else:
+            expr = f"CASE WHEN {h} < '{format(thr_int, '08x')}' THEN {i} ELSE {expr} END"
     return f"SELECT doc_id, CAST({expr} AS INT) AS split FROM documents"
 
 
@@ -2114,9 +2124,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "repetition": """
             WITH t AS (
+              -- list_slice mirrors the engine's max_tokens=2048 cap
               SELECT doc_id,
-                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                                 x -> x <> '') AS ws
+                     list_slice(list_filter(
+                         regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> ''), 1, 2048) AS ws
               FROM documents),
             b AS (
               SELECT doc_id, ws, len(ws) AS n,

@@ -104,7 +104,7 @@ def lang_id(text: Column) -> Column:
     return F.when(expr["s"] > 0, expr["lang"]).otherwise(F.lit("und"))
 
 
-def repetition_stats(text: Column) -> dict[str, Column]:
+def repetition_stats(text: Column, max_tokens: int = 2048) -> dict[str, Column]:
     """Gopher-style intra-document repetition signals (quality filters
     drop docs dominated by repeated content) — pure Column expressions:
 
@@ -112,10 +112,14 @@ def repetition_stats(text: Column) -> dict[str, Column]:
     - `top_bigram_frac`: occurrences of the most frequent word bigram
       over total bigrams (0 when < 2 words)
 
-    The per-row mode computation is O(distinct² ) in array ops, which is
-    bounded by document length — it stays inside whole-stage codegen and
-    never shuffles, so at corpus scale it is a cheap map-side pass."""
-    ws = words(text)
+    The per-row bigram mode is O(distinct × total) in array ops —
+    quadratic in document length, which an adversarial 200k-token crawl
+    page would turn into a straggler task. `max_tokens` caps the window
+    the signals are computed over (first N words — repetition signals on
+    a 2k-token prefix are what filtering pipelines act on anyway); the
+    bound makes worst-case row cost ~max_tokens², independent of input.
+    Everything stays inside whole-stage codegen, map-side, no shuffle."""
+    ws = F.slice(words(text), 1, max_tokens)
     n = F.size(ws)
     dup_word = F.when(
         n > 0, 1.0 - F.size(F.array_distinct(ws)).cast("double") / n

@@ -49,7 +49,12 @@ def url_host(url: Column) -> Column:
 
 
 def canonicalize_url(url: Column) -> Column:
-    """Stable canonical form (see module docstring for the rules)."""
+    """Stable canonical form (see module docstring for the rules).
+
+    URLs that do not match the scheme://authority shape (mailto:,
+    protocol-relative //host, bare paths) pass through UNCHANGED —
+    mapping them all to one mangled string would make url_dedup collapse
+    unrelated malformed rows into a single survivor."""
     scheme = _scheme(url)
     host = url_host(url)
     host = F.when(
@@ -64,16 +69,17 @@ def canonicalize_url(url: Column) -> Column:
     rawq = F.regexp_extract(url, _URL_RE, 4)  # includes leading '?' or ''
     params = F.filter(
         F.split(F.regexp_replace(rawq, r"^\?", ""), "&"),
-        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        lambda p: (p != "") & ~F.lower(p).rlike(TRACKING_PARAM_RE),
     )
     q = F.array_join(F.array_sort(params), "&")
-    return F.concat(
+    canon = F.concat(
         scheme,
         F.lit("://"),
         host,
         path,
         F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
     )
+    return F.when(scheme == "", url).otherwise(canon)
 
 
 def registered_domain(host: Column) -> Column:

@@ -289,8 +289,19 @@ def contamination_hits(
     (id, gram), so count(*) after the join is already the distinct-hit
     count (no expensive count(DISTINCT))."""
     tr = _shingle_table(train, text_col, id_col, n, hash=hash)
+    # eval ids are irrelevant (only the gram set matters) — synthesize a
+    # constant id so eval tables keyed differently than train still work
     ev = (
-        _shingle_table(eval_df, eval_text_col or text_col, id_col, n, hash=hash)
+        _shingle_table(
+            eval_df.select(
+                F.lit(0).alias("_eid"),
+                F.col(eval_text_col or text_col).alias("_etext"),
+            ),
+            "_etext",
+            "_eid",
+            n,
+            hash=hash,
+        )
         .select("h")
         .distinct()
     )

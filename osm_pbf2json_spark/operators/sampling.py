@@ -59,8 +59,14 @@ def hash_split(
         )
         expr = F.lit(len(fractions) - 1)
         for i in reversed(range(len(fractions) - 1)):
-            thr = format(int(sum(fractions[: i + 1]) * (16**8)), "08x")
-            expr = F.when(h < thr, F.lit(i)).otherwise(expr)
+            thr_int = int(sum(fractions[: i + 1]) * (16**8))
+            if thr_int >= 16**8:
+                # cumulative boundary reaches 1.0: every hash is below it
+                # (a formatted 9-char threshold would compare WRONG
+                # lexicographically against the 8-char prefix)
+                expr = F.lit(i)
+            else:
+                expr = F.when(h < format(thr_int, "08x"), F.lit(i)).otherwise(expr)
     else:
         b = _bucket(key_cols, seed)
         expr = F.lit(len(fractions) - 1)

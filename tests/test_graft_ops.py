@@ -620,3 +620,36 @@ def test_url_canonicalize_idempotent(spark):
     )
     bad = out.filter(F.col("c1") != F.col("c2")).collect()
     assert not bad, bad[:5]
+
+
+def test_hash_split_md5_saturated_boundary(spark):
+    """(0.5, 0.5, 0.0): cumulative boundary hits 1.0 — every row must
+    land in splits 0/1 (a 9-char hex threshold would dump ~half the rows
+    into the empty split 2)."""
+    import pyspark.sql.functions as F
+    from osm_pbf2json_spark.operators.sampling import hash_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    counts = {
+        r["split"]: r["count"]
+        for r in hash_split(docs, (0.5, 0.5, 0.0), method="md5")
+        .groupBy("split").count().collect()
+    }
+    total = sum(counts.values())
+    assert counts.get(2, 0) == 0, counts
+    assert 0.35 < counts[0] / total < 0.65, counts
+
+
+def test_contamination_eval_different_id_column(spark):
+    """Eval tables keyed differently than train must work — eval ids are
+    irrelevant to the gram set."""
+    from osm_pbf2json_spark.operators.dedup import contamination_hits
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over things")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [("ex-a", "the quick brown fox jumps")], "example_id string, question string"
+    )
+    hits = contamination_hits(train, ev, n=5, eval_text_col="question").collect()
+    assert len(hits) == 1 and hits[0]["n_hits"] == 1

@@ -86,3 +86,28 @@ def test_url_dedup_survivor(spark):
     assert out["http://example.com/x?a=1"]["survivor_id"] == 3
     assert out["http://example.com/x?a=1"]["n_dups"] == 3
     assert out["http://example.com/y"]["n_dups"] == 1
+
+
+def test_canonicalize_malformed_passthrough(spark):
+    """URLs that do not match scheme://authority pass through unchanged
+    (NOT collapsed to one mangled key), and tracking-param stripping is
+    case-insensitive."""
+    import pyspark.sql.functions as F
+
+    rows = [
+        (1, "foo.bar/page"),
+        (2, "mailto:x@y"),
+        (3, "//cdn.example.com/z"),
+        (4, "http://x.com/p?UTM_SOURCE=feed&a=1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select("doc_id", canonicalize_url(F.col("url")).alias("c")).collect()
+    }
+    assert got[1] == "foo.bar/page"
+    assert got[2] == "mailto:x@y"
+    assert got[3] == "//cdn.example.com/z"
+    assert got[4] == "http://x.com/p?a=1"
+    # distinct malformed urls stay distinct through url_dedup
+    assert url_dedup(df).count() == 4
