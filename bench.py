@@ -109,6 +109,9 @@ BENCH_QUERIES = {
     ),
     "ann_cosine_topk": E.q_ann_cosine_topk,
     "tile_histogram": E.q_tile_histogram,
+    "tile_pyramid": E.q_tile_pyramid,
+    "url_canonical": E.q_url_canonical,
+    "contamination": E.q_contamination,
     # large×large PIP path (cell equi-join + Catalyst ray-cast refine)
     "pip_cells": E.q_j5b_pip_cells,
     "asof_join": E.q_asof_join,

@@ -2,13 +2,14 @@
 
 Decode support is format-tiered:
 
-- REAL decoders (pure stdlib/numpy, no external media libs needed) for
-  uncompressed formats: BMP (24-bit BITMAPINFOHEADER), PPM (P6), and
-  WAV (PCM16 via the stdlib `wave` module). These produce real
-  dimensions/sample-rates and content features (mean RGB, luma stats,
-  RMS, zero-crossing rate), detected by payload magic bytes.
-- STUBBED decode for compressed formats (JPEG/PNG/MP3/MP4 — their
-  codecs aren't in this container): `decode_features` raises
+- REAL decoders (pure stdlib/numpy, no external media libs needed):
+  BMP (24-bit BITMAPINFOHEADER), PPM (P6), WAV (PCM16 via the stdlib
+  `wave` module), and PNG (8-bit RGB/RGBA, all five scanline filters —
+  zlib inflate IS stdlib). These produce real dimensions/sample-rates
+  and content features (mean RGB, luma stats, RMS, zero-crossing rate),
+  detected by payload magic bytes.
+- STUBBED decode for formats whose codecs aren't in this container
+  (JPEG/MP3/MP4): `decode_features` raises
   NotImplementedError unless `fake=True`, in which case a deterministic
   featurizer (seeded from the payload hash) produces stable output so
   downstream operators stay testable end-to-end.
@@ -60,7 +61,122 @@ def sniff_format(payload: bytes) -> str | None:
         return "ppm"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     return None
+
+
+def decode_png(payload: bytes):
+    """PNG (8-bit, color type 2=RGB or 6=RGBA, non-interlaced) →
+    (width, height, HxWx3 uint8 RGB). Pure stdlib: chunk walk + zlib
+    inflate + scanline unfiltering (filters 0/1/2 vectorized — Sub is a
+    per-channel cumsum mod 256 — Average/Paeth per-pixel, O(w·h))."""
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, []
+    w = h = bd = ct = interlace = None
+    while pos + 8 <= len(payload):
+        ln = struct.unpack_from(">I", payload, pos)[0]
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h, bd, ct, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if bd != 8 or ct not in (2, 6) or interlace:
+        raise NotImplementedError(
+            f"only 8-bit RGB/RGBA non-interlaced PNG (bd={bd}, ct={ct})"
+        )
+    nch = 3 if ct == 2 else 4
+    stride = w * nch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    arr = raw.reshape(h, stride + 1)
+    ftypes = arr[:, 0]
+    out = np.zeros((h, stride), np.int64)
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        f = int(ftypes[y])
+        line = arr[y, 1:].astype(np.int64)
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif f == 1:  # Sub: prefix sum per channel position
+            rec = line.reshape(-1, nch).cumsum(axis=0).reshape(-1) & 0xFF
+        else:  # Average (3) / Paeth (4): left-neighbor recurrence
+            rec = np.zeros(stride, np.int64)
+            for i in range(stride):
+                a = rec[i - nch] if i >= nch else 0
+                b = prev[i]
+                if f == 3:
+                    rec[i] = (line[i] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = prev[i - nch] if i >= nch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[i] = (line[i] + pred) & 0xFF
+        out[y] = rec
+        prev = rec
+    rgb = out.astype(np.uint8).reshape(h, w, nch)[:, :, :3]
+    return w, h, rgb
+
+
+def encode_png(rgb: np.ndarray, filter_type: int = 0) -> bytes:
+    """HxWx3 uint8 → PNG bytes (test/fixture encoder; one filter type
+    for all scanlines so round-trips exercise each unfilter path)."""
+    import zlib
+
+    h, w, _ = rgb.shape
+    px = rgb.astype(np.int64)
+    lines = []
+    prev = np.zeros((w, 3), np.int64)
+    for y in range(h):
+        row = px[y]
+        if filter_type == 0:
+            enc = row
+        elif filter_type == 1:  # Sub
+            enc = (row - np.vstack([np.zeros((1, 3), np.int64), row[:-1]])) & 0xFF
+        elif filter_type == 2:  # Up
+            enc = (row - prev) & 0xFF
+        elif filter_type == 3:  # Average
+            left = np.vstack([np.zeros((1, 3), np.int64), row[:-1]])
+            enc = (row - ((left + prev) >> 1)) & 0xFF
+        else:  # Paeth
+            left = np.vstack([np.zeros((1, 3), np.int64), row[:-1]])
+            upleft = np.vstack([np.zeros((1, 3), np.int64), prev[:-1]])
+            p = left + prev - upleft
+            pa = np.abs(p - left)
+            pb = np.abs(p - prev)
+            pc = np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = (row - pred) & 0xFF
+        lines.append(bytes([filter_type]) + enc.astype(np.uint8).tobytes())
+        prev = row
+    body = zlib.compress(b"".join(lines))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", body)
+        + chunk(b"IEND", b"")
+    )
 
 
 def decode_bmp(payload: bytes):
@@ -158,6 +274,9 @@ def decode_one(payload: bytes, dim: int = FEATURE_DIM):
         return fmt, w, h, None, None, _image_features(rgb, dim)
     if fmt == "ppm":
         w, h, rgb = decode_ppm(payload)
+        return fmt, w, h, None, None, _image_features(rgb, dim)
+    if fmt == "png":
+        w, h, rgb = decode_png(payload)
         return fmt, w, h, None, None, _image_features(rgb, dim)
     if fmt == "wav":
         rate, dur, samples = decode_wav(payload)

@@ -653,3 +653,52 @@ def test_contamination_eval_different_id_column(spark):
     )
     hits = contamination_hits(train, ev, n=5, eval_text_col="question").collect()
     assert len(hits) == 1 and hits[0]["n_hits"] == 1
+
+
+def test_png_decode_roundtrip_all_filters(spark):
+    """PNG decode: exact round-trip through every scanline filter type
+    (0=None, 1=Sub, 2=Up, 3=Average, 4=Paeth), plus RGBA alpha drop and
+    Spark-side routing through decode_media."""
+    from osm_pbf2json_spark.operators.multimodal import (
+        decode_media,
+        decode_png,
+        encode_png,
+        sniff_format,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    rgb = rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8)
+    for ft in range(5):
+        payload = encode_png(rgb, filter_type=ft)
+        assert sniff_format(payload) == "png"
+        w, h, back = decode_png(payload)
+        assert (w, h) == (13, 9) and (back == rgb).all(), f"filter {ft}"
+
+    # RGBA (color type 6): alpha dropped, RGB returned
+    import struct
+    import zlib
+
+    h_, w_ = 3, 4
+    rgba = rng.integers(0, 256, size=(h_, w_, 4), dtype=np.uint8)
+    lines = b"".join(b"\x00" + rgba[y].tobytes() for y in range(h_))
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w_, h_, 8, 6, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(lines)) + chunk(b"IEND", b""))
+    w2, h2, back2 = decode_png(payload)
+    assert (w2, h2) == (w_, h_) and (back2 == rgba[:, :, :3]).all()
+
+    # Spark-side: decode_media routes PNG for real
+    media = spark.createDataFrame(
+        [(0, "image", encode_png(rgb, 4),
+          {"width": 13, "height": 9, "sample_rate": None, "duration_ms": None})],
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,duration_ms:int>",
+    )
+    row = decode_media(media).collect()[0]
+    assert row["format"] == "png" and (row["width"], row["height"]) == (13, 9)
+    assert len(row["features"]) == 16
