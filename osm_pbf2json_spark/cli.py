@@ -59,14 +59,14 @@ def main(argv=None, spark=None, out=None):
 
     path = args.path
     if path.endswith(".pbf"):
-        import tempfile
+        # blob-parallel: executors decode disjoint blob ranges (the
+        # reference's rayon pool, mod.rs:211-215, in Spark form) — no
+        # driver-side decode, no temp parquet round-trip
+        from .sources.pbf import load_pbf_distributed
 
-        from .sources.pbf import pbf_to_parquet
-
-        tmp = tempfile.mkdtemp(prefix="pbf2json_")
-        pbf_to_parquet(path, tmp)
-        path = tmp
-    tables = load_entities(spark, path)
+        tables = load_pbf_distributed(spark, path)
+    else:
+        tables = load_entities(spark, path)
 
     if args.cmd == "objects":
         df = objects(tables, args.tags, args.retain_coordinates)
