@@ -190,6 +190,10 @@ def main():
         "input_rows": input_rows,
         "mult": MULT,
         "n_polygons": len(GRID_POLYGONS),
+        # j6_scaled caps its own replication (density-preserving islands)
+        # — record the actual factor so scaling reports are not
+        # mislabeled by the global flagship mult
+        "j6_scaled_mult": max(1, min(MULT, 4)),
     }
     if prev:
         out["prev_queries"] = prev

@@ -95,3 +95,43 @@ def test_streaming_dedup(spark, tmp_path):
     # one survivor per distinct normalized text
     texts = sorted({r["text"].lower().replace("!", "").split()[0] for r in rows})
     assert len(rows) == 2 and texts == ["alpha", "gamma"]
+
+
+def test_incremental_signature_index(spark, tmp_path):
+    """foreachBatch index maintenance: two microbatches (one file each)
+    min-merged into a versioned index that equals the batch signatures
+    of the full corpus."""
+    from osm_pbf2json_spark.operators.dedup import minhash_signatures
+    from osm_pbf2json_spark.streaming.index_maintain import (
+        maintain_signature_index,
+        read_signature_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    src = str(tmp_path / "docs_src")
+    # one file per half -> maxFilesPerTrigger=1 makes two microbatches
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        src + "/p=0", mode="overwrite"
+    )
+    docs.filter(F.col("doc_id") % 2 != 0).coalesce(1).write.parquet(
+        src + "/p=1", mode="overwrite"
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/p=*")
+    )
+    q = maintain_signature_index(
+        stream, str(tmp_path / "idx"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+    idx = read_signature_index(spark, str(tmp_path / "idx"))
+    full = minhash_signatures(docs)
+    assert idx.count() == full.count() == 60
+    diff = (
+        idx.alias("i")
+        .join(full.alias("f"), "id")
+        .filter(F.col("i.sig") != F.col("f.sig"))
+        .count()
+    )
+    assert diff == 0
