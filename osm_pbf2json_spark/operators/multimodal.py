@@ -108,19 +108,28 @@ def decode_png(payload: bytes):
             rec = (line + prev) & 0xFF
         elif f == 1:  # Sub: prefix sum per channel position
             rec = line.reshape(-1, nch).cumsum(axis=0).reshape(-1) & 0xFF
-        else:  # Average (3) / Paeth (4): left-neighbor recurrence
-            rec = np.zeros(stride, np.int64)
-            for i in range(stride):
-                a = rec[i - nch] if i >= nch else 0
-                b = prev[i]
+        elif f in (3, 4):  # Average / Paeth: left-neighbor recurrence —
+            # loop over PIXELS with the nch channel lanes vectorized
+            lp = line.reshape(-1, nch)
+            pp = prev.reshape(-1, nch)
+            rp = np.zeros((w, nch), np.int64)
+            a = np.zeros(nch, np.int64)
+            for x in range(w):
+                b = pp[x]
                 if f == 3:
-                    rec[i] = (line[i] + ((a + b) >> 1)) & 0xFF
+                    rp[x] = (lp[x] + ((a + b) >> 1)) & 0xFF
                 else:
-                    c = prev[i - nch] if i >= nch else 0
+                    c = pp[x - 1] if x else np.zeros(nch, np.int64)
                     p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    rec[i] = (line[i] + pred) & 0xFF
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                    )
+                    rp[x] = (lp[x] + pred) & 0xFF
+                a = rp[x]
+            rec = rp.reshape(-1)
+        else:
+            raise ValueError(f"invalid PNG scanline filter type {f}")
         out[y] = rec
         prev = rec
     rgb = out.astype(np.uint8).reshape(h, w, nch)[:, :, :3]

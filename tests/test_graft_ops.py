@@ -727,3 +727,27 @@ def test_distributed_pbf_decode_matches_single(spark):
         for r in objects(t, "amenity~fountain+tourism,amenity~townhall").collect()
     )
     assert ids == [4211905, 23813204, 24045180, 52564405]
+
+
+def test_png_invalid_filter_raises():
+    """Corrupt scanline filter types (spec allows 0-4 only) must raise,
+    not silently unfilter as Paeth."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from osm_pbf2json_spark.operators.multimodal import decode_png
+
+    w, h = 2, 1
+    line = b"\x07" + bytes(6)  # filter byte 7 = invalid
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(line)) + chunk(b"IEND", b""))
+    with _pytest.raises(ValueError):
+        decode_png(payload)

@@ -135,3 +135,23 @@ def test_incremental_signature_index(spark, tmp_path):
         .count()
     )
     assert diff == 0
+
+
+def test_signature_index_retry_idempotent(spark, tmp_path):
+    """A re-run epoch reads the version strictly OLDER than itself, so
+    retrying after a committed write neither crashes ('overwrite a path
+    being read') nor double-merges."""
+    import pyspark.sql.functions as F
+    from osm_pbf2json_spark.operators.dedup import minhash_signatures
+    from osm_pbf2json_spark.streaming.index_maintain import read_signature_index
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    idx = str(tmp_path / "idx")
+    sigs = minhash_signatures(docs)
+    sigs.write.mode("overwrite").parquet(idx + "/v=0")
+    # simulate epoch 1 running twice: both runs read v=0, not v=1
+    assert read_signature_index(spark, idx, before=1).count() == 40
+    sigs.write.mode("overwrite").parquet(idx + "/v=1")
+    again = read_signature_index(spark, idx, before=1)
+    assert again.count() == 40  # still v=0
+    assert read_signature_index(spark, idx).count() == 40  # latest = v=1
