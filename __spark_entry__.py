@@ -1027,6 +1027,41 @@ def q_ivf_assign(spark, sf_dir):
     return out.select("neighbor_id", "rank")
 
 
+def _pq_fixed_codebooks(m: int = 8, k_codes: int = 16, sub: int = 8, seed: int = 13):
+    """Deterministic codebooks for the oracle-checked PQ encode/ADC path
+    (training is exercised separately, rows-only, in q_ann_pq)."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.normal(size=(m, k_codes, sub))
+
+
+def q_pq_assign(spark, sf_dir):
+    """PQ encode + ADC top-k against FIXED codebooks: per-subspace
+    argmin-L2 code assignment and the asymmetric-distance cosine scan,
+    both mirrored exactly in SQL (first-index argmin = row_number tie
+    rule)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = ann.cosine_topk_pq(
+        emb,
+        [(0, [float(x) for x in qv])],
+        k=5,
+        codebooks=_pq_fixed_codebooks(),
+    )
+    return out.select("neighbor_id", "rank")
+
+
+def q_ann_pq(spark, sf_dir):
+    """PQ with trained codebooks (driver k-means per subspace) — the
+    16-bytes-per-vector ANN scan; rows-only (training is iterative),
+    recall pinned in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = ann.cosine_topk_pq(emb, [(0, [float(x) for x in qv])], k=5)
+    return out.select("neighbor_id", "rank")
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Rolling-hash (winnowing) fingerprints — count per doc (pure Catalyst)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1114,6 +1149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "ann_ivf": q_ann_ivf,
         "ivf_assign": q_ivf_assign,
+        "pq_assign": q_pq_assign,
+        "ann_pq": q_ann_pq,
         "streets_e2e": q_streets_e2e,
         "objects_e2e": q_objects_e2e,
         "objects_poly": q_objects_poly,
@@ -1738,6 +1775,52 @@ def _ivf_assign_sql(k: int = 5, n_probe: int = 3) -> str:
     """
 
 
+def _pq_assign_sql(k: int = 5) -> str:
+    """Mirror of q_pq_assign: per-(vector, subspace) code = argmin L2 to
+    the fixed codebooks — ranked by (|c|² − 2·v_sub·c), the argmin
+    -equivalent form, with the np.argmin first-index tie rule as
+    row_number ORDER BY dist, code — then the ADC cosine
+    Σ dot(q_s, cb[s,code]) / (|q|·sqrt(Σ|cb[s,code]|²) + 1e-12)."""
+    C = _pq_fixed_codebooks()
+    m, kc, sub = C.shape
+    vals = []
+    for s in range(m):
+        for c in range(kc):
+            vec = "[" + ",".join(repr(float(x)) for x in C[s, c]) + "]"
+            n2 = repr(float((C[s, c] ** 2).sum()))
+            vals.append(f"({s},{c},{vec}::DOUBLE[],{n2})")
+    cb_values = ",".join(vals)
+    return f"""
+        WITH b AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        cb(s, c, vec, n2) AS (VALUES {cb_values}),
+        q AS (SELECT v AS qv, sqrt(list_inner_product(v, v)) AS qn
+              FROM b WHERE nid = 0),
+        d AS (SELECT b.nid, cb.s, cb.c, cb.n2,
+                     list_inner_product(
+                         list_slice(b.v, cb.s * {sub} + 1, cb.s * {sub} + {sub}),
+                         cb.vec) AS dt
+              FROM b CROSS JOIN cb),
+        sel AS (SELECT nid, s, c FROM (
+                  SELECT nid, s, c,
+                         row_number() OVER (PARTITION BY nid, s
+                                            ORDER BY n2 - 2 * dt ASC, c ASC) AS rk
+                  FROM d) t WHERE rk = 1),
+        qd AS (SELECT cb.s, cb.c, cb.n2,
+                      list_inner_product(
+                          list_slice(q.qv, cb.s * {sub} + 1, cb.s * {sub} + {sub}),
+                          cb.vec) AS qdt
+               FROM cb CROSS JOIN q),
+        sc AS (SELECT sel.nid, sum(qd.qdt) AS num, sum(qd.n2) AS vn2
+               FROM sel JOIN qd ON qd.s = sel.s AND qd.c = sel.c
+               GROUP BY sel.nid)
+        SELECT nid AS neighbor_id,
+               row_number() OVER (
+                 ORDER BY num / (q.qn * sqrt(vn2) + 1e-12) DESC, nid) AS rank
+        FROM sc CROSS JOIN q QUALIFY rank <= {k}
+    """
+
+
 def _hash_split_sql(fractions=(0.9, 0.05, 0.05), seed: int = 42) -> str:
     """Mirror of sampling.hash_split(method='md5'): identical md5 hex
     prefix compared against identical thresholds (generated by the same
@@ -2263,6 +2346,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _embedding_neardup_sql(0.45, 4, 64),
         "ann_lsh": _ann_lsh_sql(5, 6, 64),
         "ivf_assign": _ivf_assign_sql(5, 3),
+        "pq_assign": _pq_assign_sql(5),
         "url_canonical": _url_sql(),
         "url_dedup": _url_sql(path_mod=1000, dedup=True),
     }

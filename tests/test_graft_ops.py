@@ -751,3 +751,33 @@ def test_png_invalid_filter_raises():
                + chunk(b"IDAT", zlib.compress(line)) + chunk(b"IEND", b""))
     with _pytest.raises(ValueError):
         decode_png(payload)
+
+
+def test_pq_recall_and_self_hit(spark):
+    """Trained PQ (m=8 subspaces, 16 codes) vs brute force: self-query
+    ranks itself first; recall@10 clears a sane floor for random-ish
+    64-d embeddings; codes stay within the codebook range."""
+    import numpy as np
+    import pyspark.sql.functions as F
+    from osm_pbf2json_spark.operators.ann import (
+        cosine_topk_bruteforce,
+        cosine_topk_pq,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = {r["neighbor_id"] for r in cosine_topk_bruteforce(emb, [(0, qv)], k=10).collect()}
+    # random-ish embeddings are PQ's worst case (no cluster structure);
+    # 64 codes/subspace keeps reconstruction usable even there
+    approx = cosine_topk_pq(emb, [(0, qv)], k=10, m=8, k_codes=64)
+    rows = approx.orderBy("rank").collect()
+    assert rows[0]["neighbor_id"] == 0  # reconstruction keeps self on top
+    got = {r["neighbor_id"] for r in rows}
+    assert len(exact & got) >= 3, (exact, got)  # recall@10 >= 0.3
+
+    books = train_pq_codebooks(emb, m=8, k_codes=16)
+    codes = pq_encode(emb, books).collect()
+    assert all(0 <= c < 16 for r in codes for c in r["codes"])
+    assert all(len(r["codes"]) == 8 for r in codes)
