@@ -369,3 +369,113 @@ def cosine_topk_pq(
         .filter(F.col("rank") <= k)
         .select("qid", "neighbor_id", "cosine_hat", "rank")
     )
+
+
+def cosine_topk_ivfpq(
+    df: DataFrame,
+    queries: list[tuple],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-PQ — the canonical 10^9+-vector ANN layout (FAISS IVFPQ shape,
+    built from this module's own pieces): an IVF coarse quantizer prunes
+    the corpus to `n_probe` cells per query, and within the probed cells
+    the scan touches PQ CODES only (m small ints per vector). Per query
+    the work is ~(n_probe/n_centroids) x corpus_rows x m ints — both
+    the selectivity knob (n_probe/n_centroids) and the bytes-per-row
+    knob (m) are explicit.
+
+    `rerank > 0` re-scores that many ADC candidates with exact cosine
+    against the float vectors (a broadcast id-join back to the corpus) —
+    the standard accuracy knob; rerank=0 returns pure ADC ranks."""
+    if centroids is None:
+        centroids = train_ivf_centroids(df, n_centroids, vec_col=vec_col, seed=seed)
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            df, m=m, k_codes=k_codes, vec_col=vec_col, seed=seed
+        )
+    m, k_codes, sub = codebooks.shape
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    def assign(vecs: pd.Series) -> pd.Series:
+        x = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        xn = x / (np.linalg.norm(x, axis=1, keepdims=True) + 1e-12)
+        return pd.Series((xn @ cents.T).argmax(axis=1).astype(np.int64))
+
+    assign_udf = F.pandas_udf(assign, "long")
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    codes = (
+        pq_encode(base.withColumn("cell", assign_udf("v")), codebooks, "id", "v")
+        .join(base.select("id", assign_udf("v").alias("cell")), "id")
+    )
+
+    spark = df.sparkSession
+    qcells = []
+    luts = []
+    for qid, q in queries:
+        qv = np.asarray(q, dtype=np.float64)
+        qn_unit = qv / (np.linalg.norm(qv) + 1e-12)
+        for c in np.argsort(-(qn_unit @ cents.T))[:n_probe]:
+            qcells.append((int(qid), int(c)))
+        lut = np.zeros((m, k_codes))
+        for s in range(m):
+            lut[s] = codebooks[s] @ qv[s * sub : (s + 1) * sub]
+        luts.append((int(qid), float(np.linalg.norm(qv)), lut))
+    qdf = spark.createDataFrame(qcells, "qid long, cell long")
+    cb_n2 = (codebooks**2).sum(axis=2)
+
+    probed = codes.join(F.broadcast(qdf), "cell")
+
+    def kern_factory(lut, qn):
+        def kern(codes_s: pd.Series) -> pd.Series:
+            c = np.array(list(codes_s), dtype=np.int64)
+            sidx = np.arange(m)[None, :]
+            num = lut[sidx, c].sum(axis=1)
+            vn = np.sqrt(cb_n2[sidx, c].sum(axis=1))
+            return pd.Series(num / (qn * vn + 1e-12))
+
+        return F.pandas_udf(kern, "double")
+
+    out = None
+    for qid, qn, lut in luts:
+        part = probed.filter(F.col("qid") == qid).select(
+            "qid",
+            F.col("id").alias("neighbor_id"),
+            kern_factory(lut, qn)(F.col("codes")).alias("cosine_hat"),
+        )
+        out = part if out is None else out.unionByName(part)
+
+    w = Window.partitionBy("qid").orderBy(F.col("cosine_hat").desc(), F.col("neighbor_id"))
+    adc = out.withColumn("rank", F.row_number().over(w))
+    if not rerank:
+        return adc.filter(F.col("rank") <= k).select(
+            "qid", "neighbor_id", "cosine_hat", "rank"
+        )
+    cand = adc.filter(F.col("rank") <= max(k, rerank)).select("qid", "neighbor_id")
+    qvecs = spark.createDataFrame(
+        [(int(qid), [float(x) for x in q]) for qid, q in queries],
+        "qid long, qv array<double>",
+    )
+    norm = lambda x: F.sqrt(_dot(x, x))  # noqa: E731
+    exact = (
+        cand.join(base.select(F.col("id").alias("neighbor_id"),
+                              F.col("v").cast("array<double>").alias("ev")),
+                  "neighbor_id")
+        .join(F.broadcast(qvecs), "qid")
+        .withColumn("cosine", _dot(F.col("ev"), F.col("qv")) / (norm("ev") * norm("qv")))
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("qid", "neighbor_id", "cosine", "rank")
+    )

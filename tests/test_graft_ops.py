@@ -781,3 +781,27 @@ def test_pq_recall_and_self_hit(spark):
     codes = pq_encode(emb, books).collect()
     assert all(0 <= c < 16 for r in codes for c in r["codes"])
     assert all(len(r["codes"]) == 8 for r in codes)
+
+
+def test_ivfpq_self_hit_and_rerank(spark):
+    """IVF-PQ composition: probed-cell ADC finds the self-query; exact
+    re-rank returns true cosines and improves agreement with brute
+    force."""
+    import pyspark.sql.functions as F
+    from osm_pbf2json_spark.operators.ann import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivfpq,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    adc = cosine_topk_ivfpq(emb, [(0, qv)], k=5, n_probe=8, m=8, k_codes=64)
+    assert adc.orderBy("rank").first()["neighbor_id"] == 0
+    rr = cosine_topk_ivfpq(
+        emb, [(0, qv)], k=5, n_probe=8, m=8, k_codes=64, rerank=50
+    ).orderBy("rank").collect()
+    assert rr[0]["neighbor_id"] == 0 and rr[0]["cosine"] > 0.999
+    exact = [r["neighbor_id"] for r in
+             cosine_topk_bruteforce(emb, [(0, qv)], k=5).collect()]
+    got = [r["neighbor_id"] for r in rr]
+    assert len(set(exact) & set(got)) >= 2
