@@ -1052,6 +1052,19 @@ def q_pq_assign(spark, sf_dir):
     return out.select("neighbor_id", "rank")
 
 
+def q_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ with exact re-rank — the composed 10^9-scale ANN layout;
+    rows-only (both quantizers trained at runtime), self-hit + recall
+    pinned in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = ann.cosine_topk_ivfpq(
+        emb, [(0, [float(x) for x in qv])], k=5, n_probe=4, m=8, k_codes=64,
+        rerank=50,
+    )
+    return out.select("neighbor_id", "rank")
+
+
 def q_ann_pq(spark, sf_dir):
     """PQ with trained codebooks (driver k-means per subspace) — the
     16-bytes-per-vector ANN scan; rows-only (training is iterative),
@@ -1151,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": q_ivf_assign,
         "pq_assign": q_pq_assign,
         "ann_pq": q_ann_pq,
+        "ann_ivfpq": q_ann_ivfpq,
         "streets_e2e": q_streets_e2e,
         "objects_e2e": q_objects_e2e,
         "objects_poly": q_objects_poly,
