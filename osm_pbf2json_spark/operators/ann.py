@@ -246,8 +246,9 @@ def train_pq_codebooks(
 ) -> np.ndarray:
     """Driver-side PQ training: split dims into `m` subspaces, k-means
     (`k_codes` centroids) per subspace on the same deterministic
-    TakeOrdered sample the IVF trainer uses. Returns (m, k_codes,
-    dim/m) float64 codebooks.
+    TakeOrdered sample the IVF trainer uses. Returns (m, k', dim/m)
+    float64 codebooks with k' = min(k_codes, sample size) — never
+    zero-padded, so no phantom all-zero codes can win an argmin.
 
     PQ is the memory scale path for ANN: a 64-dim float32 vector is
     256 bytes; its PQ codes are `m` small ints — at 10^12 vectors the
@@ -266,11 +267,12 @@ def train_pq_codebooks(
     dim = sample.shape[1]
     assert dim % m == 0, "dim must divide evenly into m subspaces"
     sub = dim // m
+    k_codes = min(k_codes, len(sample))
     rng = np.random.Generator(np.random.PCG64(seed))
     books = np.zeros((m, k_codes, sub))
     for s in range(m):
         xs = sample[:, s * sub : (s + 1) * sub]
-        cents = xs[rng.choice(len(xs), size=min(k_codes, len(xs)), replace=False)]
+        cents = xs[rng.choice(len(xs), size=k_codes, replace=False)]
         for _ in range(iters):
             d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
@@ -278,8 +280,28 @@ def train_pq_codebooks(
                 members = xs[assign == ci]
                 if len(members):
                     cents[ci] = members.mean(axis=0)
-        books[s, : len(cents)] = cents
+        books[s] = cents
     return books
+
+
+def _pq_encode_udf(codebooks: np.ndarray):
+    """Arrow kernel: per-subspace argmin code assignment, ranked by the
+    expanded distance |c|² − 2·x·c (the |x_sub|² term is constant per
+    row — same argmin, and the same arithmetic shape the DuckDB oracle
+    mirror computes, which keeps cross-engine near-ties aligned)."""
+    m, _, sub = codebooks.shape
+    cb_n2 = (codebooks**2).sum(axis=2)  # (m, k)
+
+    def kernel(vecs: pd.Series) -> pd.Series:
+        x = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        out = np.zeros((len(x), m), dtype=np.int64)
+        for s in range(m):
+            xs = x[:, s * sub : (s + 1) * sub]
+            d = cb_n2[s][None, :] - 2.0 * (xs @ codebooks[s].T)
+            out[:, s] = d.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return F.pandas_udf(kernel, "array<long>")
 
 
 def pq_encode(
@@ -288,21 +310,25 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, codes array<int>[m]): per-subspace argmin-L2 code assignment
-    in one Arrow kernel pass (np.argmin first-index tie rule)."""
-    m, _, sub = codebooks.shape
-
-    def kernel(vecs: pd.Series) -> pd.Series:
-        x = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
-        out = np.zeros((len(x), m), dtype=np.int64)
-        for s in range(m):
-            xs = x[:, s * sub : (s + 1) * sub]
-            d2 = ((xs[:, None, :] - codebooks[s][None, :, :]) ** 2).sum(axis=2)
-            out[:, s] = d2.argmin(axis=1)
-        return pd.Series(list(out))
-
-    enc = F.pandas_udf(kernel, "array<long>")
+    """(id, codes array<int>[m]) in one Arrow pass."""
+    enc = _pq_encode_udf(codebooks)
     return df.select(F.col(id_col).alias("id"), enc(F.col(vec_col)).alias("codes"))
+
+
+def _adc_luts(queries: list[tuple], codebooks: np.ndarray):
+    """Stacked per-query ADC lookup tables: (qids, |q| array (Q,),
+    partial-dot LUT (Q, m, k_codes))."""
+    m, k_codes, sub = codebooks.shape
+    qids, qns, luts = [], [], []
+    for qid, q in queries:
+        qv = np.asarray(q, dtype=np.float64)
+        qids.append(int(qid))
+        qns.append(float(np.linalg.norm(qv)))
+        lut = np.zeros((m, k_codes))
+        for s in range(m):
+            lut[s] = codebooks[s] @ qv[s * sub : (s + 1) * sub]
+        luts.append(lut)
+    return qids, np.array(qns), np.stack(luts)
 
 
 def cosine_topk_pq(
@@ -318,54 +344,58 @@ def cosine_topk_pq(
 ) -> DataFrame:
     """ADC (asymmetric distance computation) top-k: corpus scanned as PQ
     codes only; per query a tiny (m × k_codes) lookup table of partial
-    dots/norms is broadcast, and the approximate cosine is
+    dots/norms is broadcast in the kernel closure, and the approximate
+    cosine is
 
         cos ≈ Σ_s dot(q_s, cb[s, code_s]) / (|q| · sqrt(Σ_s |cb[s, code_s]|²))
 
     — EXACT given the reconstruction (subspaces are disjoint
-    coordinates, cross terms vanish). The scan touches m ints per
-    vector, never the float vectors: at 10^12 rows the I/O drops ~16×
-    vs full-precision scan; re-rank the top candidates against the true
-    vectors downstream when exactness matters."""
+    coordinates, cross terms vanish). ONE scan scores every query (the
+    kernel returns an array of Q scores, exploded with its qid); the
+    scan touches m ints per vector, never the float vectors — at 10^12
+    rows the I/O drops ~16× vs a full-precision scan. Re-rank top
+    candidates downstream when exactness matters (cosine_topk_ivfpq
+    shows the pattern)."""
+    from ..plans.partitioning import widen_narrow_input
+
+    df = widen_narrow_input(df)
     if codebooks is None:
         codebooks = train_pq_codebooks(
             df, m=m, k_codes=k_codes, vec_col=vec_col, seed=seed
         )
-    m, k_codes, sub = codebooks.shape
+    m, k_codes, _ = codebooks.shape
     codes = pq_encode(df, codebooks, id_col, vec_col)
-    spark = df.sparkSession
+    qids, qns, luts = _adc_luts(queries, codebooks)
+    nq = len(qids)
+    cb_n2 = (codebooks**2).sum(axis=2)
+    lut_flat = luts.reshape(nq, m * k_codes)
+    n2_flat = cb_n2.reshape(m * k_codes)
+    offs = (np.arange(m) * k_codes)[None, :]
 
-    rows = []
-    for qid, q in queries:
-        qv = np.asarray(q, dtype=np.float64)
-        qn = float(np.linalg.norm(qv))
-        lut_dot = np.zeros((m, k_codes))
-        for s in range(m):
-            lut_dot[s] = codebooks[s] @ qv[s * sub : (s + 1) * sub]
-        cb_n2 = (codebooks**2).sum(axis=2)  # (m, k_codes)
-        rows.append((int(qid), qn, lut_dot, cb_n2))
+    def score(codes_s: pd.Series) -> pd.Series:
+        c = np.array(list(codes_s), dtype=np.int64)  # (n, m)
+        idx = offs + c  # (n, m) flat LUT indexes
+        num = lut_flat[:, idx].sum(axis=2)  # (Q, n)
+        vn = np.sqrt(n2_flat[idx].sum(axis=1))  # (n,)
+        sc = num / (qns[:, None] * vn[None, :] + 1e-12)  # (Q, n)
+        return pd.Series(list(sc.T))
 
-    def score_factory(qid, qn, lut_dot, cb_n2):
-        def kern(codes_s: pd.Series) -> pd.Series:
-            c = np.array(list(codes_s), dtype=np.int64)  # (n, m)
-            sidx = np.arange(m)[None, :]
-            num = lut_dot[sidx, c].sum(axis=1)
-            vn = np.sqrt(cb_n2[sidx, c].sum(axis=1))
-            return pd.Series(num / (qn * vn + 1e-12))
-
-        return F.pandas_udf(kern, "double")
-
-    out = None
-    for qid, qn, lut_dot, cb_n2 in rows:
-        scored = codes.select(
-            F.lit(qid).alias("qid"),
+    score_udf = F.pandas_udf(score, "array<double>")
+    qid_arr = F.array(*[F.lit(q) for q in qids])
+    scored = (
+        codes.select(
             F.col("id").alias("neighbor_id"),
-            score_factory(qid, qn, lut_dot, cb_n2)(F.col("codes")).alias("cosine_hat"),
+            F.posexplode(score_udf(F.col("codes"))).alias("qpos", "cosine_hat"),
         )
-        out = scored if out is None else out.unionByName(scored)
+        .select(
+            F.element_at(qid_arr, F.col("qpos") + 1).alias("qid"),
+            "neighbor_id",
+            "cosine_hat",
+        )
+    )
     w = Window.partitionBy("qid").orderBy(F.col("cosine_hat").desc(), F.col("neighbor_id"))
     return (
-        out.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "neighbor_id", "cosine_hat", "rank")
     )
@@ -390,20 +420,28 @@ def cosine_topk_ivfpq(
     built from this module's own pieces): an IVF coarse quantizer prunes
     the corpus to `n_probe` cells per query, and within the probed cells
     the scan touches PQ CODES only (m small ints per vector). Per query
-    the work is ~(n_probe/n_centroids) x corpus_rows x m ints — both
-    the selectivity knob (n_probe/n_centroids) and the bytes-per-row
-    knob (m) are explicit.
+    the work is ~(n_probe/n_centroids) × corpus_rows × m ints — the
+    selectivity knob (n_probe/n_centroids) and the bytes-per-row knob
+    (m) are both explicit.
 
-    `rerank > 0` re-scores that many ADC candidates with exact cosine
-    against the float vectors (a broadcast id-join back to the corpus) —
-    the standard accuracy knob; rerank=0 returns pure ADC ranks."""
+    Plan shape: ONE corpus scan computes codes + cell together; the
+    (qid, cell) probe list is broadcast; every probed row is scored for
+    its row's qid in one kernel (no per-query scans). `rerank > 0`
+    re-scores that many ADC candidates with exact cosine — the
+    candidate ids are BROADCAST back against the corpus, so the float
+    vectors are never shuffled. Returns (qid, neighbor_id, cosine,
+    rank); `cosine` is the ADC approximation when rerank=0 and the
+    exact value when rerank>0 — same schema either way."""
+    from ..plans.partitioning import widen_narrow_input
+
+    df = widen_narrow_input(df)
     if centroids is None:
         centroids = train_ivf_centroids(df, n_centroids, vec_col=vec_col, seed=seed)
     if codebooks is None:
         codebooks = train_pq_codebooks(
             df, m=m, k_codes=k_codes, vec_col=vec_col, seed=seed
         )
-    m, k_codes, sub = codebooks.shape
+    m, k_codes, _ = codebooks.shape
     cents = np.asarray(centroids, dtype=np.float64)
 
     def assign(vecs: pd.Series) -> pd.Series:
@@ -412,53 +450,52 @@ def cosine_topk_ivfpq(
         return pd.Series((xn @ cents.T).argmax(axis=1).astype(np.int64))
 
     assign_udf = F.pandas_udf(assign, "long")
+    enc = _pq_encode_udf(codebooks)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    codes = (
-        pq_encode(base.withColumn("cell", assign_udf("v")), codebooks, "id", "v")
-        .join(base.select("id", assign_udf("v").alias("cell")), "id")
+    # one scan: codes and cell from the same select — no self-join
+    codes = base.select(
+        "id", enc(F.col("v")).alias("codes"), assign_udf(F.col("v")).alias("cell")
     )
 
     spark = df.sparkSession
+    qids, qns, luts = _adc_luts(queries, codebooks)
+    qpos_of = {q: i for i, q in enumerate(qids)}
     qcells = []
-    luts = []
     for qid, q in queries:
         qv = np.asarray(q, dtype=np.float64)
         qn_unit = qv / (np.linalg.norm(qv) + 1e-12)
         for c in np.argsort(-(qn_unit @ cents.T))[:n_probe]:
-            qcells.append((int(qid), int(c)))
-        lut = np.zeros((m, k_codes))
-        for s in range(m):
-            lut[s] = codebooks[s] @ qv[s * sub : (s + 1) * sub]
-        luts.append((int(qid), float(np.linalg.norm(qv)), lut))
-    qdf = spark.createDataFrame(qcells, "qid long, cell long")
+            qcells.append((int(qid), qpos_of[int(qid)], int(c)))
+    qdf = spark.createDataFrame(qcells, "qid long, qpos int, cell long")
     cb_n2 = (codebooks**2).sum(axis=2)
+    lut_flat = luts.reshape(len(qids), m * k_codes)
+    n2_flat = cb_n2.reshape(m * k_codes)
+    offs = (np.arange(m) * k_codes)[None, :]
 
-    probed = codes.join(F.broadcast(qdf), "cell")
+    def score(qpos_s: pd.Series, codes_s: pd.Series) -> pd.Series:
+        qp = qpos_s.to_numpy(dtype=np.int64)
+        c = np.array(list(codes_s), dtype=np.int64)
+        idx = offs + c
+        num = np.take_along_axis(
+            lut_flat[qp], idx, axis=1
+        ).sum(axis=1)
+        vn = np.sqrt(n2_flat[idx].sum(axis=1))
+        return pd.Series(num / (qns[qp] * vn + 1e-12))
 
-    def kern_factory(lut, qn):
-        def kern(codes_s: pd.Series) -> pd.Series:
-            c = np.array(list(codes_s), dtype=np.int64)
-            sidx = np.arange(m)[None, :]
-            num = lut[sidx, c].sum(axis=1)
-            vn = np.sqrt(cb_n2[sidx, c].sum(axis=1))
-            return pd.Series(num / (qn * vn + 1e-12))
-
-        return F.pandas_udf(kern, "double")
-
-    out = None
-    for qid, qn, lut in luts:
-        part = probed.filter(F.col("qid") == qid).select(
+    score_udf = F.pandas_udf(score, "double")
+    scored = (
+        codes.join(F.broadcast(qdf), "cell")
+        .select(
             "qid",
             F.col("id").alias("neighbor_id"),
-            kern_factory(lut, qn)(F.col("codes")).alias("cosine_hat"),
+            score_udf(F.col("qpos"), F.col("codes")).alias("cosine"),
         )
-        out = part if out is None else out.unionByName(part)
-
-    w = Window.partitionBy("qid").orderBy(F.col("cosine_hat").desc(), F.col("neighbor_id"))
-    adc = out.withColumn("rank", F.row_number().over(w))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    adc = scored.withColumn("rank", F.row_number().over(w))
     if not rerank:
         return adc.filter(F.col("rank") <= k).select(
-            "qid", "neighbor_id", "cosine_hat", "rank"
+            "qid", "neighbor_id", "cosine", "rank"
         )
     cand = adc.filter(F.col("rank") <= max(k, rerank)).select("qid", "neighbor_id")
     qvecs = spark.createDataFrame(
@@ -467,9 +504,14 @@ def cosine_topk_ivfpq(
     )
     norm = lambda x: F.sqrt(_dot(x, x))  # noqa: E731
     exact = (
-        cand.join(base.select(F.col("id").alias("neighbor_id"),
-                              F.col("v").cast("array<double>").alias("ev")),
-                  "neighbor_id")
+        F.broadcast(cand)
+        .join(
+            base.select(
+                F.col("id").alias("neighbor_id"),
+                F.col("v").cast("array<double>").alias("ev"),
+            ),
+            "neighbor_id",
+        )
         .join(F.broadcast(qvecs), "qid")
         .withColumn("cosine", _dot(F.col("ev"), F.col("qv")) / (norm("ev") * norm("qv")))
     )
