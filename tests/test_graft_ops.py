@@ -805,3 +805,29 @@ def test_ivfpq_self_hit_and_rerank(spark):
              cosine_topk_bruteforce(emb, [(0, qv)], k=5).collect()]
     got = [r["neighbor_id"] for r in rr]
     assert len(set(exact) & set(got)) >= 2
+
+
+def test_ivfpq_residual_beats_raw(spark):
+    """Residual PQ (encode v - centroid[cell]) captures more variance
+    than raw-vector PQ with the same code budget — recall must not
+    regress, and the self-query still tops the ranking."""
+    import pyspark.sql.functions as F
+    from osm_pbf2json_spark.operators.ann import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivfpq,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = {r["neighbor_id"] for r in cosine_topk_bruteforce(emb, [(0, qv)], k=10).collect()}
+
+    def recall(res):
+        out = cosine_topk_ivfpq(
+            emb, [(0, qv)], k=10, n_probe=16, m=8, k_codes=64, residual=res
+        ).orderBy("rank").collect()
+        assert out[0]["neighbor_id"] == 0
+        return len(exact & {r["neighbor_id"] for r in out})
+
+    raw, resid = recall(False), recall(True)
+    assert resid >= raw, (raw, resid)
+    assert resid >= 5, resid
