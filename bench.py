@@ -116,6 +116,7 @@ BENCH_QUERIES = {
     "ann_cosine_topk": E.q_ann_cosine_topk,
     "tile_histogram": E.q_tile_histogram,
     "tile_pyramid": E.q_tile_pyramid,
+    "ann_ivfpq": E.q_ann_ivfpq,
     "url_canonical": E.q_url_canonical,
     "contamination": E.q_contamination,
     # large×large PIP path (cell equi-join + Catalyst ray-cast refine)

@@ -136,9 +136,11 @@ def decode_png(payload: bytes):
     return w, h, rgb
 
 
-def encode_png(rgb: np.ndarray, filter_type: int = 0) -> bytes:
-    """HxWx3 uint8 → PNG bytes (test/fixture encoder; one filter type
-    for all scanlines so round-trips exercise each unfilter path)."""
+def encode_png(rgb: np.ndarray, filter_type: int | None = 0) -> bytes:
+    """HxWx3 uint8 → PNG bytes (test/fixture encoder). One filter type
+    for all scanlines exercises a single unfilter path; filter_type=None
+    cycles 0..4 per scanline like libpng's adaptive filtering mixes
+    them."""
     import zlib
 
     h, w, _ = rgb.shape
@@ -147,13 +149,14 @@ def encode_png(rgb: np.ndarray, filter_type: int = 0) -> bytes:
     prev = np.zeros((w, 3), np.int64)
     for y in range(h):
         row = px[y]
-        if filter_type == 0:
+        ft = y % 5 if filter_type is None else filter_type
+        if ft == 0:
             enc = row
-        elif filter_type == 1:  # Sub
+        elif ft == 1:  # Sub
             enc = (row - np.vstack([np.zeros((1, 3), np.int64), row[:-1]])) & 0xFF
-        elif filter_type == 2:  # Up
+        elif ft == 2:  # Up
             enc = (row - prev) & 0xFF
-        elif filter_type == 3:  # Average
+        elif ft == 3:  # Average
             left = np.vstack([np.zeros((1, 3), np.int64), row[:-1]])
             enc = (row - ((left + prev) >> 1)) & 0xFF
         else:  # Paeth
@@ -167,7 +170,7 @@ def encode_png(rgb: np.ndarray, filter_type: int = 0) -> bytes:
                 (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
             )
             enc = (row - pred) & 0xFF
-        lines.append(bytes([filter_type]) + enc.astype(np.uint8).tobytes())
+        lines.append(bytes([ft]) + enc.astype(np.uint8).tobytes())
         prev = row
     body = zlib.compress(b"".join(lines))
 

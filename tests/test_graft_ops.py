@@ -831,3 +831,13 @@ def test_ivfpq_residual_beats_raw(spark):
     raw, resid = recall(False), recall(True)
     assert resid >= raw, (raw, resid)
     assert resid >= 5, resid
+
+
+def test_png_mixed_filters_roundtrip():
+    """Per-scanline filter mixing (libpng adaptive style) round-trips."""
+    from osm_pbf2json_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.Generator(np.random.PCG64(21))
+    rgb = rng.integers(0, 256, size=(17, 11, 3), dtype=np.uint8)
+    w, h, back = decode_png(encode_png(rgb, filter_type=None))
+    assert (w, h) == (11, 17) and (back == rgb).all()
