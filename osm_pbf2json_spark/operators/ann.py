@@ -254,34 +254,8 @@ def train_pq_codebooks(
     256 bytes; its PQ codes are `m` small ints — at 10^12 vectors the
     difference between a corpus that fits executor memory and one that
     doesn't."""
-    sample = np.array(
-        [
-            r[0]
-            for r in df.select(vec_col)
-            .orderBy(F.xxhash64(F.col(vec_col)))
-            .limit(sample_rows)
-            .collect()
-        ],
-        dtype=np.float64,
-    )
-    dim = sample.shape[1]
-    assert dim % m == 0, "dim must divide evenly into m subspaces"
-    sub = dim // m
-    k_codes = min(k_codes, len(sample))
-    rng = np.random.Generator(np.random.PCG64(seed))
-    books = np.zeros((m, k_codes, sub))
-    for s in range(m):
-        xs = sample[:, s * sub : (s + 1) * sub]
-        cents = xs[rng.choice(len(xs), size=k_codes, replace=False)]
-        for _ in range(iters):
-            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for ci in range(len(cents)):
-                members = xs[assign == ci]
-                if len(members):
-                    cents[ci] = members.mean(axis=0)
-        books[s] = cents
-    return books
+    sample = _pq_sample(df, vec_col, sample_rows)
+    return _subspace_kmeans(sample, m, k_codes, iters, seed)
 
 
 def train_pq_codebooks_residual(
@@ -297,8 +271,17 @@ def train_pq_codebooks_residual(
     """Residual PQ training: quantize (v − centroid[cell]) instead of v.
     Residuals concentrate around the origin, so the same code budget
     captures far more of the remaining variance — the standard IVF-PQ
-    accuracy upgrade."""
-    sample = np.array(
+    accuracy upgrade. Same sample/k-means machinery as
+    train_pq_codebooks (shared helpers), applied to residuals."""
+    sample = _pq_sample(df, vec_col, sample_rows)
+    cents = np.asarray(centroids, dtype=np.float64)
+    xn = sample / (np.linalg.norm(sample, axis=1, keepdims=True) + 1e-12)
+    resid = sample - cents[(xn @ cents.T).argmax(axis=1)]
+    return _subspace_kmeans(resid, m, k_codes, iters, seed)
+
+
+def _pq_sample(df: DataFrame, vec_col: str, sample_rows: int) -> np.ndarray:
+    return np.array(
         [
             r[0]
             for r in df.select(vec_col)
@@ -308,46 +291,55 @@ def train_pq_codebooks_residual(
         ],
         dtype=np.float64,
     )
-    cents = np.asarray(centroids, dtype=np.float64)
-    xn = sample / (np.linalg.norm(sample, axis=1, keepdims=True) + 1e-12)
-    cells = (xn @ cents.T).argmax(axis=1)
-    resid = sample - cents[cells]
-    dim = resid.shape[1]
-    assert dim % m == 0
+
+
+def _subspace_kmeans(
+    x: np.ndarray, m: int, k_codes: int, iters: int, seed: int
+) -> np.ndarray:
+    """Per-subspace k-means; k clamps to the sample size so the codebook
+    is never zero-padded (no phantom codes that could win an argmin)."""
+    dim = x.shape[1]
+    assert dim % m == 0, "dim must divide evenly into m subspaces"
     sub = dim // m
-    k_codes = min(k_codes, len(resid))
+    k_codes = min(k_codes, len(x))
     rng = np.random.Generator(np.random.PCG64(seed))
     books = np.zeros((m, k_codes, sub))
     for s in range(m):
-        xs = resid[:, s * sub : (s + 1) * sub]
-        cents_s = xs[rng.choice(len(xs), size=k_codes, replace=False)]
+        xs = x[:, s * sub : (s + 1) * sub]
+        cents = xs[rng.choice(len(xs), size=k_codes, replace=False)]
         for _ in range(iters):
-            d2 = ((xs[:, None, :] - cents_s[None, :, :]) ** 2).sum(axis=2)
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
-            for ci in range(len(cents_s)):
+            for ci in range(len(cents)):
                 members = xs[assign == ci]
                 if len(members):
-                    cents_s[ci] = members.mean(axis=0)
-        books[s] = cents_s
+                    cents[ci] = members.mean(axis=0)
+        books[s] = cents
     return books
 
 
-def _pq_encode_udf(codebooks: np.ndarray):
-    """Arrow kernel: per-subspace argmin code assignment, ranked by the
-    expanded distance |c|² − 2·x·c (the |x_sub|² term is constant per
-    row — same argmin, and the same arithmetic shape the DuckDB oracle
-    mirror computes, which keeps cross-engine near-ties aligned)."""
+def _encode_codes(x: np.ndarray, codebooks: np.ndarray, cb_n2: np.ndarray) -> np.ndarray:
+    """(n, dim) targets → (n, m) argmin codes, ranked by the expanded
+    distance |c|² − 2·x·c (the |x_sub|² term is constant per row — same
+    argmin, and the same arithmetic shape the DuckDB oracle mirror
+    computes, which keeps cross-engine near-ties aligned)."""
     m, _, sub = codebooks.shape
+    out = np.zeros((len(x), m), dtype=np.int64)
+    for s in range(m):
+        xs = x[:, s * sub : (s + 1) * sub]
+        d = cb_n2[s][None, :] - 2.0 * (xs @ codebooks[s].T)
+        out[:, s] = d.argmin(axis=1)
+    return out
+
+
+def _pq_encode_udf(codebooks: np.ndarray):
+    """Arrow kernel wrapping _encode_codes (cb_n2 precomputed once in the
+    closure, not per batch)."""
     cb_n2 = (codebooks**2).sum(axis=2)  # (m, k)
 
     def kernel(vecs: pd.Series) -> pd.Series:
         x = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
-        out = np.zeros((len(x), m), dtype=np.int64)
-        for s in range(m):
-            xs = x[:, s * sub : (s + 1) * sub]
-            d = cb_n2[s][None, :] - 2.0 * (xs @ codebooks[s].T)
-            out[:, s] = d.argmin(axis=1)
-        return pd.Series(list(out))
+        return pd.Series(list(_encode_codes(x, codebooks, cb_n2)))
 
     return F.pandas_udf(kernel, "array<long>")
 
@@ -490,6 +482,12 @@ def cosine_topk_ivfpq(
     from ..plans.partitioning import widen_narrow_input
 
     df = widen_narrow_input(df)
+    if residual and codebooks is not None and centroids is None:
+        raise ValueError(
+            "residual=True with caller-supplied codebooks requires the "
+            "centroids they were residual-trained against — training fresh "
+            "centroids here would silently corrupt every ADC score"
+        )
     if centroids is None:
         centroids = train_ivf_centroids(df, n_centroids, vec_col=vec_col, seed=seed)
     cents = np.asarray(centroids, dtype=np.float64)
@@ -503,19 +501,18 @@ def cosine_topk_ivfpq(
                 df, m=m, k_codes=k_codes, vec_col=vec_col, seed=seed
             )
         )
+    # NB with residual=True a caller-supplied codebook MUST be
+    # residual-trained against `centroids` (train_pq_codebooks_residual);
+    # raw-trained codebooks would yield silently wrong cosines.
     m, k_codes, sub = codebooks.shape
+    enc_n2 = (codebooks**2).sum(axis=2)  # hoisted: constant across batches
 
     def enc_cell(vecs: pd.Series) -> pd.DataFrame:
         x = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
         xn = x / (np.linalg.norm(x, axis=1, keepdims=True) + 1e-12)
         cell = (xn @ cents.T).argmax(axis=1)
         target = x - cents[cell] if residual else x
-        cb_n2_ = (codebooks**2).sum(axis=2)
-        out = np.zeros((len(x), m), dtype=np.int64)
-        for s in range(m):
-            xs = target[:, s * sub : (s + 1) * sub]
-            d = cb_n2_[s][None, :] - 2.0 * (xs @ codebooks[s].T)
-            out[:, s] = d.argmin(axis=1)
+        out = _encode_codes(target, codebooks, enc_n2)
         return pd.DataFrame({"cell": cell.astype(np.int64), "codes": list(out)})
 
     enc_udf = F.pandas_udf(enc_cell, "cell long, codes array<long>")
@@ -539,17 +536,19 @@ def cosine_topk_ivfpq(
     lut_flat = luts.reshape(len(qids), m * k_codes)
     offs = (np.arange(m) * k_codes)[None, :]
     if residual:
-        # per-query centroid dots and per-cell norm/cross tables
+        # per-query centroid dots; norm/cross tables ONLY for the probed
+        # cells (a full table at n_centroids=4096, k=256 would be a 64MB
+        # UDF closure for <=n_probe*Q cells actually scored)
         qdotc = np.array(
             [cents @ np.asarray(q, dtype=np.float64) for _qid, q in queries]
         )  # (Q, cells)
-        cnorm2 = (cents**2).sum(axis=1)  # (cells,)
-        ncells = len(cents)
-        cross = np.zeros((ncells, m, k_codes))
-        for ci in range(ncells):
-            for s in range(m):
-                cross[ci, s] = 2.0 * (codebooks[s] @ cents[ci, s * sub : (s + 1) * sub])
-        tot2_flat = (cross + cb_n2[None, :, :]).reshape(ncells, m * k_codes)
+        used = sorted({c for _qid, _qp, c in qcells})
+        remap = np.full(len(cents), -1, dtype=np.int64)
+        remap[used] = np.arange(len(used))
+        cu = cents[used].reshape(len(used), m, sub)
+        cross = 2.0 * np.einsum("skd,csd->csk", codebooks, cu)
+        tot2_flat = (cross + cb_n2[None, :, :]).reshape(len(used), m * k_codes)
+        cnorm2_used = (cents[used] ** 2).sum(axis=1)
     else:
         n2_flat = cb_n2.reshape(m * k_codes)
 
@@ -560,9 +559,11 @@ def cosine_topk_ivfpq(
         part = np.take_along_axis(lut_flat[qp], idx, axis=1).sum(axis=1)
         if residual:
             cl = cell_s.to_numpy(dtype=np.int64)
+            cu_idx = remap[cl]  # probed rows only ever carry probed cells
             num = qdotc[qp, cl] + part
             vn = np.sqrt(
-                cnorm2[cl] + np.take_along_axis(tot2_flat[cl], idx, axis=1).sum(axis=1)
+                cnorm2_used[cu_idx]
+                + np.take_along_axis(tot2_flat[cu_idx], idx, axis=1).sum(axis=1)
             )
         else:
             num = part
