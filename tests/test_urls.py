@@ -111,3 +111,34 @@ def test_canonicalize_malformed_passthrough(spark):
     assert got[4] == "http://x.com/p?a=1"
     # distinct malformed urls stay distinct through url_dedup
     assert url_dedup(df).count() == 4
+
+
+def test_url_canonicalize_never_fails_on_garbage(spark):
+    """Adversarial inputs (empty, bare separators, unicode, percent
+    escapes, long junk) must canonicalize without raising and without
+    producing NULLs — crawl URL columns are untrusted."""
+    import pyspark.sql.functions as F
+
+    garbage = [
+        "", "://", "http://", "https://?", "#", "?", "http://#f",
+        "http://:80", "ftp://h:99999/p", "http://h/p?&&&", "http://h/p?=",
+        "näve://høst/påth?ü=1", "http://h/%2e%2e/%2f?a=%20",
+        "a" * 500, "http://" + "b" * 300 + ".com/" + "c" * 300,
+        "http://h/p?" + "&".join(f"k{i}=v" for i in range(100)) + "#x",
+        "HtTp://MiXeD.CaSe:80/P?utm_source=x&UTM_MEDIUM=y",
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(garbage)], "i int, url string")
+    out = df.select(
+        "i",
+        canonicalize_url(F.col("url")).alias("c"),
+        registered_domain(url_host(F.col("url"))).alias("d"),
+    ).collect()
+    assert len(out) == len(garbage)
+    for r in out:
+        assert r["c"] is not None, r
+    # idempotency holds on garbage too
+    twice = df.select(
+        (canonicalize_url(canonicalize_url(F.col("url")))
+         == canonicalize_url(F.col("url"))).alias("ok")
+    ).collect()
+    assert all(r["ok"] for r in twice)
