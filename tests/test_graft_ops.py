@@ -841,3 +841,26 @@ def test_png_mixed_filters_roundtrip():
     rgb = rng.integers(0, 256, size=(17, 11, 3), dtype=np.uint8)
     w, h, back = decode_png(encode_png(rgb, filter_type=None))
     assert (w, h) == (11, 17) and (back == rgb).all()
+
+
+def test_pbf_index_truncated_files():
+    """scan_blob_index on truncated files returns a prefix of the full
+    index or raises — never hangs, never fabricates blobs."""
+    import pytest as _pytest
+
+    from osm_pbf2json_spark.sources.pbf import scan_blob_index
+
+    path = "/root/reference/tests/data/alexanderplatz.pbf"
+    full = scan_blob_index(path)
+    data = open(path, "rb").read()
+    import tempfile
+
+    for cut in (0, 3, 17, len(data) // 3, len(data) - 5):
+        with tempfile.NamedTemporaryFile(suffix=".pbf") as f:
+            f.write(data[:cut])
+            f.flush()
+            try:
+                idx = scan_blob_index(f.name)
+            except Exception:
+                continue  # clean failure is acceptable
+            assert idx == full[: len(idx)], cut
