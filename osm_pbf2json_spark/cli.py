@@ -38,6 +38,31 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def load_pbf_tables(spark, path: str, distributed: bool | None = None):
+    """EntityTables from a .osm.pbf path. `distributed=None` decides
+    from the master URL: blob-parallel executor decode needs every
+    executor to open() the path, which holds for local masters (same
+    machine) and shared filesystems; against a remote master with a
+    driver-local PBF it would fail per-task with FileNotFoundError, so
+    we decode on the driver and ship the Arrow batches through
+    createDataFrame (works on any topology)."""
+    if distributed is None:
+        distributed = spark.conf.get("spark.master", "").startswith("local")
+    if distributed:
+        from .sources.pbf import load_pbf_distributed
+
+        return load_pbf_distributed(spark, path)
+    from .operators.closure import EntityTables
+    from .sources.pbf import decode_pbf, to_arrow
+
+    nodes, ways, relations = to_arrow(decode_pbf(path))
+    return EntityTables(
+        nodes=spark.createDataFrame(nodes),
+        ways=spark.createDataFrame(ways),
+        relations=spark.createDataFrame(relations),
+    )
+
+
 def main(argv=None, spark=None, out=None):
     args = build_parser().parse_args(argv)
     out = out or sys.stdout
@@ -59,12 +84,10 @@ def main(argv=None, spark=None, out=None):
 
     path = args.path
     if path.endswith(".pbf"):
-        # blob-parallel: executors decode disjoint blob ranges (the
-        # reference's rayon pool, mod.rs:211-215, in Spark form) — no
-        # driver-side decode, no temp parquet round-trip
-        from .sources.pbf import load_pbf_distributed
-
-        tables = load_pbf_distributed(spark, path)
+        # blob-parallel executor decode (the reference's rayon pool,
+        # mod.rs:211-215, in Spark form) when the topology allows it,
+        # else driver-decode + Arrow ship — see load_pbf_tables
+        tables = load_pbf_tables(spark, path)
     else:
         tables = load_entities(spark, path)
 

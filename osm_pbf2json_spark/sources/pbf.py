@@ -29,6 +29,7 @@ refs) and Relations (delta-coded member ids).
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 from dataclasses import dataclass, field
@@ -235,6 +236,34 @@ def _decode_primitive_block(buf: bytes, out: PbfData):
             # fnum == 1 (plain Nodes) unused by modern encoders / fixtures
 
 
+#: Blob compression fields beyond raw(1)/zlib(3) that the OSM
+#: fileformat.proto defines but this decoder does not implement
+#: (fileformat.proto: lzma_data=4, OBSOLETE_bzip2_data=5, lz4_data=6,
+#: zstd_data=7). Encountering one raises instead of silently dropping
+#: the blob's entities.
+_UNSUPPORTED_BLOB_FIELDS = {4: "lzma", 5: "bzip2", 6: "lz4", 7: "zstd"}
+
+
+def _blob_payload(blob: bytes) -> bytes | None:
+    """Decompressed OSMData payload of a Blob message, or None for an
+    empty blob. Raises NotImplementedError on lzma/bzip2/lz4/zstd
+    payloads — loud failure beats silent entity loss on files produced
+    by writers using those codecs."""
+    raw = None
+    for fnum, _, val in _iter_fields(blob):
+        if fnum == 1:
+            raw = val
+        elif fnum == 3:
+            raw = zlib.decompress(val)
+        elif fnum in _UNSUPPORTED_BLOB_FIELDS:
+            raise NotImplementedError(
+                f"OSM PBF blob uses {_UNSUPPORTED_BLOB_FIELDS[fnum]} "
+                "compression (Blob field "
+                f"{fnum}); only raw and zlib payloads are supported"
+            )
+    return raw
+
+
 def decode_pbf(path: str) -> PbfData:
     """Decode a .osm.pbf file into entity rows."""
     out = PbfData()
@@ -258,12 +287,7 @@ def decode_pbf(path: str) -> PbfData:
         pos += datasize
         if btype != b"OSMData":
             continue
-        raw = None
-        for fnum, _, val in _iter_fields(blob):
-            if fnum == 1:
-                raw = val
-            elif fnum == 3:
-                raw = zlib.decompress(val)
+        raw = _blob_payload(blob)
         if raw is not None:
             _decode_primitive_block(raw, out)
     return out
@@ -318,6 +342,7 @@ def scan_blob_index(path: str) -> list[tuple[int, int]]:
     (~100k blobs) indexes in well under a second."""
     idx = []
     with open(path, "rb") as f:
+        fsize = os.fstat(f.fileno()).st_size
         while True:
             b = f.read(4)
             if len(b) < 4:
@@ -330,6 +355,16 @@ def scan_blob_index(path: str) -> list[tuple[int, int]]:
                     btype = val
                 elif fnum == 3:
                     datasize = val
+            # verify the payload actually exists BEFORE indexing it:
+            # a file truncated mid-payload (or a BlobHeader missing its
+            # datasize) must fail here with the offset, not later as an
+            # opaque zlib/varint error inside an executor task
+            if datasize <= 0 or f.tell() + datasize > fsize:
+                raise EOFError(
+                    f"{path}: blob at offset {f.tell()} declares "
+                    f"{datasize} payload bytes but file ends at {fsize} "
+                    "— truncated or corrupt PBF"
+                )
             if btype == b"OSMData":
                 idx.append((f.tell(), datasize))
             f.seek(datasize, 1)
@@ -367,12 +402,7 @@ def pbf_entities_distributed(spark, path: str, parallelism: int | None = None):
                 for off, size in zip(pdf["offset"], pdf["size"]):
                     f.seek(int(off))
                     blob = f.read(int(size))
-                    raw = None
-                    for fnum, _, val in _iter_fields(blob):
-                        if fnum == 1:
-                            raw = val
-                        elif fnum == 3:
-                            raw = zlib.decompress(val)
+                    raw = _blob_payload(blob)
                     if raw is not None:
                         _decode_primitive_block(raw, out)
             yield pd.DataFrame(

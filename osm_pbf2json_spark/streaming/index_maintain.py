@@ -9,16 +9,23 @@ full-outer join that reads the previous version and writes the next, so
 merge I/O is O(|index|) per epoch — batch the stream accordingly (the
 signing pass, not the merge, is the dominant cost for text corpora).
 
-The index is a versioned parquet directory: each epoch writes
-`v=<epoch_id>` with mode=overwrite and reads the newest version
-STRICTLY OLDER than its own epoch, so a retried epoch re-reads the same
-input version and overwrites its own partial output — idempotent, and
-never "overwrite the path being read". Old versions beyond
-`keep_versions` are pruned after a successful write.
+The index is a versioned parquet directory. Versions are allocated from
+the INDEX ITSELF (max existing + 1), not from the streaming epoch id:
+epoch ids are checkpoint-scoped, so a fresh checkpoint pointed at an
+existing index would restart them at 0 and clobber/lose history. Each
+epoch's allocation is persisted as an `_epochs/epoch-<id>` marker BEFORE
+the data write, so a RETRIED epoch reuses its original version: it
+re-reads the same strictly-older input version and overwrites its own
+(possibly partial) output — idempotent, and never "overwrite the path
+being read". Old versions beyond `keep_versions` (and their markers) are
+pruned after a successful write. The checkpoint and index dirs may
+therefore be wiped independently — a fresh checkpoint simply continues
+the index's version sequence.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 
@@ -34,6 +41,48 @@ def _versions(path: str) -> list[int]:
             if os.path.exists(os.path.join(path, d, "_SUCCESS")):
                 out.append(int(d.split("=", 1)[1]))
     return sorted(out)
+
+
+def _epoch_dir(path: str) -> str:
+    return os.path.join(path, "_epochs")
+
+
+def _claimed_versions(path: str) -> dict[str, int]:
+    """marker name -> allocated version, from the persisted markers
+    (claims survive crashes, so a version number is never reused even if
+    its data write failed before _SUCCESS)."""
+    d = _epoch_dir(path)
+    if not os.path.isdir(d):
+        return {}
+    out: dict[str, int] = {}
+    for f in os.listdir(d):
+        if f.startswith("epoch-"):
+            try:
+                out[f] = int(open(os.path.join(d, f)).read().strip())
+            except (ValueError, OSError):
+                continue
+    return out
+
+
+def _allocate_version(path: str, checkpoint: str, epoch_id: int) -> int:
+    """Version for this epoch: the marker's value if one exists (retry),
+    else max(committed, claimed) + 1, persisted as a marker before any
+    data is written. Markers are keyed by (checkpoint, epoch): a RETRY
+    of an epoch shares the checkpoint and reuses its allocation, while a
+    FRESH checkpoint (epoch ids restart at 0) gets new versions and
+    folds into the existing index instead of clobbering it."""
+    ck = hashlib.sha1(os.path.abspath(checkpoint).encode()).hexdigest()[:12]
+    marker = f"epoch-{ck}-{epoch_id}"
+    claims = _claimed_versions(path)
+    if marker in claims:
+        return claims[marker]
+    version = max(_versions(path) + list(claims.values()), default=-1) + 1
+    os.makedirs(_epoch_dir(path), exist_ok=True)
+    tmp = os.path.join(_epoch_dir(path), f".{marker}.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(_epoch_dir(path), marker))
+    return version
 
 
 def read_signature_index(
@@ -70,16 +119,25 @@ def maintain_signature_index(
         new_sigs = minhash_signatures(
             batch_df, num_perm=num_perm, n=n, text_col=text_col, id_col=id_col
         )
-        # strictly-older read: a RETRIED epoch sees the same input
-        # version and overwrites its own (possibly partial) output —
+        # version comes from the index (max+1), persisted per-epoch so a
+        # RETRIED epoch reuses its allocation: same strictly-older input
+        # version, overwrites its own (possibly partial) output —
         # idempotent, never reading the path it writes
-        prev = read_signature_index(spark, index_path, before=epoch_id)
+        version = _allocate_version(index_path, checkpoint, epoch_id)
+        prev = read_signature_index(spark, index_path, before=version)
         merged = merge_signatures(prev, new_sigs) if prev is not None else new_sigs
         merged.write.mode("overwrite").parquet(
-            os.path.join(index_path, f"v={epoch_id}")
+            os.path.join(index_path, f"v={version}")
         )
-        for v in _versions(index_path)[:-keep_versions]:
+        pruned = set(_versions(index_path)[:-keep_versions])
+        for v in pruned:
             shutil.rmtree(os.path.join(index_path, f"v={v}"), ignore_errors=True)
+        for mname, v in _claimed_versions(index_path).items():
+            if v in pruned:
+                try:
+                    os.remove(os.path.join(_epoch_dir(index_path), mname))
+                except OSError:
+                    pass
 
     writer = stream_docs.writeStream.foreachBatch(upsert).option(
         "checkpointLocation", checkpoint

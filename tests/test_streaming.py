@@ -155,3 +155,121 @@ def test_signature_index_retry_idempotent(spark, tmp_path):
     again = read_signature_index(spark, idx, before=1)
     assert again.count() == 40  # still v=0
     assert read_signature_index(spark, idx).count() == 40  # latest = v=1
+
+
+def test_signature_index_fresh_checkpoint_existing_index(spark, tmp_path):
+    """Index versions come from the index (max+1), NOT the epoch id: a
+    fresh checkpoint pointed at an existing index dir must fold the new
+    batch into the prior signatures instead of silently losing them
+    (epoch restarts at 0; the old scheme wrote v=0, pruned it, and kept
+    serving the stale max)."""
+    from osm_pbf2json_spark.operators.dedup import minhash_signatures
+    from osm_pbf2json_spark.streaming.index_maintain import (
+        maintain_signature_index,
+        read_signature_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 != 0)
+    src_a, src_b = str(tmp_path / "src_a"), str(tmp_path / "src_b")
+    half_a.coalesce(1).write.parquet(src_a, mode="overwrite")
+    half_b.coalesce(1).write.parquet(src_b, mode="overwrite")
+    idx = str(tmp_path / "idx")
+
+    # run 1: checkpoint ck1, consumes half_a
+    q = maintain_signature_index(
+        spark.readStream.schema(docs.schema).parquet(src_a),
+        idx,
+        str(tmp_path / "ck1"),
+    )
+    q.awaitTermination(120)
+    assert read_signature_index(spark, idx).count() == half_a.count()
+
+    # run 2: FRESH checkpoint ck2 (epoch ids restart at 0), same index
+    q = maintain_signature_index(
+        spark.readStream.schema(docs.schema).parquet(src_b),
+        idx,
+        str(tmp_path / "ck2"),
+    )
+    q.awaitTermination(120)
+    merged = read_signature_index(spark, idx)
+    full = minhash_signatures(docs)
+    assert merged.count() == 60
+    diff = (
+        merged.alias("i")
+        .join(full.alias("f"), "id")
+        .filter(F.col("i.sig") != F.col("f.sig"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_pbf_unsupported_compression_raises(tmp_path):
+    """A Blob carrying an lzma/lz4/zstd payload raises instead of being
+    silently skipped (silent entity loss on files from other writers)."""
+    import struct
+
+    import pytest
+
+    from osm_pbf2json_spark.sources.pbf import decode_pbf, scan_blob_index
+
+    def field(fnum, wire, payload):
+        key = (fnum << 3) | wire
+        if wire == 2:
+            out = bytes([key])
+            n = len(payload)
+            while True:
+                b = n & 0x7F
+                n >>= 7
+                out += bytes([b | (0x80 if n else 0)])
+                if not n:
+                    break
+            return out + payload
+        raise AssertionError
+
+    # Blob with field 7 (zstd_data) — decoder must refuse loudly
+    blob = field(7, 2, b"\x28\xb5\x2f\xfd not-really-zstd")
+    header = field(1, 2, b"OSMData") + field(3, 2, b"")[:0]
+    # BlobHeader: type=OSMData (field 1), datasize (field 3, varint)
+    hdr = field(1, 2, b"OSMData") + bytes([0x18]) + bytes([len(blob)])
+    p = tmp_path / "zstd.pbf"
+    p.write_bytes(struct.pack(">i", len(hdr)) + hdr + blob)
+    assert scan_blob_index(str(p)) == [(4 + len(hdr), len(blob))]
+    with pytest.raises(NotImplementedError, match="zstd"):
+        decode_pbf(str(p))
+
+
+def test_pbf_index_truncation_raises_at_index_time(tmp_path):
+    """A file truncated mid-payload fails in scan_blob_index with the
+    offending offset — not later as an opaque decode error in a task."""
+    import pytest
+
+    from osm_pbf2json_spark.sources.pbf import scan_blob_index
+
+    path = "/root/reference/tests/data/alexanderplatz.pbf"
+    data = open(path, "rb").read()
+    full = scan_blob_index(path)
+    assert full, "fixture should contain OSMData blobs"
+    # cut inside the LAST blob's payload: header still parses, payload short
+    off, size = full[-1]
+    cut = off + size // 2
+    p = tmp_path / "trunc.pbf"
+    p.write_bytes(data[:cut])
+    with pytest.raises(EOFError, match="truncated"):
+        scan_blob_index(str(p))
+
+
+def test_cli_pbf_driver_ship_fallback(spark):
+    """load_pbf_tables(distributed=False) — the remote-master fallback —
+    produces the same objects output as the blob-parallel path."""
+    from osm_pbf2json_spark.cli import load_pbf_tables
+    from osm_pbf2json_spark.operators.objects import objects
+    from osm_pbf2json_spark.sinks import objects_json_lines
+
+    path = "/root/reference/tests/data/alexanderplatz.pbf"
+    t_dist = load_pbf_tables(spark, path)  # local master → distributed
+    t_ship = load_pbf_tables(spark, path, distributed=False)
+    a = sorted(r["value"] for r in objects_json_lines(objects(t_dist, "amenity")).collect())
+    b = sorted(r["value"] for r in objects_json_lines(objects(t_ship, "amenity")).collect())
+    assert a == b and len(a) > 0
