@@ -123,6 +123,11 @@ BENCH_QUERIES = {
     "pip_cells": E.q_j5b_pip_cells,
     "asof_join": E.q_asof_join,
     "interval_join": E.q_interval_join,
+    # reference-parity e2e pipelines (benches/osm.rs:5-28 benches exactly
+    # these) at generator scale: filter→closure→resolve→geometry kernels
+    "objects_e2e": E.q_objects_e2e,
+    "streets_e2e": E.q_streets_e2e,
+    "boundaries_e2e": E.q_boundaries_e2e,
 }
 
 

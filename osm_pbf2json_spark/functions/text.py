@@ -175,8 +175,6 @@ def winnowing_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
     Returns ARRAY<BIGINT> (sorted, deduped) per document.
     """
     mod = (1 << 61) - 1
-    base = 257
-    basek = pow(base, k, mod)
 
     def kernel(texts: pd.Series) -> pd.Series:
         out = []
@@ -185,29 +183,12 @@ def winnowing_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
                 out.append([])
                 continue
             # input is already normalized JVM-side (see call below)
-            codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
-                np.int64
-            )
+            codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
             n = len(codes)
             if n == 0:
                 out.append([])
                 continue
-            if n <= k:
-                h = 0
-                for c in codes:
-                    h = (h * base + int(c)) % mod
-                out.append([h])
-                continue
-            # rolling polynomial hash over k-grams (python loop over chars
-            # is avoided via cumulative powers in int64-safe numpy objects)
-            hs = np.empty(n - k + 1, dtype=np.int64)
-            h = 0
-            for c in codes[:k]:
-                h = (h * base + int(c)) % mod
-            hs[0] = h
-            for i in range(1, n - k + 1):
-                h = (h * base - int(codes[i - 1]) * basek + int(codes[i + k - 1])) % mod
-                hs[i] = h
+            hs = _kgram_hashes(codes, min(k, n))
             if len(hs) <= w:
                 mins = np.array([hs.min()])
             else:
@@ -217,3 +198,42 @@ def winnowing_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
         return pd.Series(out)
 
     return F.pandas_udf(kernel, "array<long>")(normalize(text))
+
+
+def _kgram_hashes(codes: "np.ndarray", k: int, base: int = 257) -> "np.ndarray":
+    """Polynomial hash (base 257, mod M = 2^61-1) of every k-gram of a
+    uint32 code-point array, fully vectorized: one O(n) NumPy pass per
+    power-of-base term (k passes total), no per-character Python loop.
+
+    All arithmetic stays in uint64 using Mersenne-prime folding
+    (2^61 ≡ 1 mod M): a code point c < 2^21 times a constant B < M is
+    split as B = hi·2^31 + lo, so c·hi < 2^51 and c·lo < 2^52 both fit,
+    and the 2^31 shift is reduced via x·2^31 = (x>>30)·2^61 + (x&(2^30-1))·2^31
+    ≡ (x>>30) + (x&(2^30-1))·2^31 (mod M). Intermediate values stay
+    congruent mod M (bounded < 2^62); one final `% M` canonicalizes.
+    """
+    M = np.uint64((1 << 61) - 1)
+    mq = (1 << 61) - 1
+    u = codes.astype(np.uint64)
+    npos = len(codes) - k + 1
+    acc = np.zeros(npos, dtype=np.uint64)
+    # batch the per-term multiply-adds BEFORE any mod-folding: with
+    # c < 2^21, hi < 2^30, lo < 2^31, chunk sums stay < 2^64 for up to
+    # 2^11 terms — one fold per chunk instead of per term
+    for start in range(0, k, 2048):
+        js = range(start, min(start + 2048, k))
+        A = np.zeros(npos, dtype=np.uint64)  # sum c·hi_j  (< k_chunk·2^51)
+        B = np.zeros(npos, dtype=np.uint64)  # sum c·lo_j  (< k_chunk·2^52)
+        for j in js:
+            bj = pow(base, k - 1 - j, mq)
+            c = u[j : j + npos]
+            A += c * np.uint64(bj >> 31)
+            B += c * np.uint64(bj & 0x7FFFFFFF)
+        # fold A·2^31 + B into acc: A = a1·2^30 + a0 → A·2^31 ≡ a1 + a0·2^31
+        a0 = A & np.uint64((1 << 30) - 1)
+        s = (A >> np.uint64(30)) + (a0 << np.uint64(31))
+        s = (s >> np.uint64(61)) + (s & M)
+        s += (B >> np.uint64(61)) + (B & M)
+        acc += (s >> np.uint64(61)) + (s & M)
+        acc = (acc >> np.uint64(61)) + (acc & M)
+    return (acc % M).astype(np.int64)

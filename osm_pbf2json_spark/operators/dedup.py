@@ -410,18 +410,40 @@ def simhash(
     hashes = F.transform(toks, lambda w: hfn(w))
 
     def fold(hs: pd.Series) -> pd.Series:
-        out = np.zeros(len(hs), dtype=np.int64)
-        for i, arr in enumerate(hs):
-            if arr is None or len(arr) == 0:
-                continue
-            h = np.asarray(arr, dtype=np.uint64)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-                np.int32
-            )
-            votes = (2 * bits - 1).sum(axis=0)
-            word = (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+        # OFFSETS-BASED: all rows' token hashes are flattened into one
+        # buffer; per-row bit votes come from ONE np.add.reduceat over
+        # the (tokens × 64) bit matrix at the row-start offsets — no
+        # per-row Python loop over tokens. Rows are processed in chunks
+        # bounded by token count so the bit matrix stays ~64 MB.
+        R = len(hs)
+        out = np.zeros(R, dtype=np.int64)
+        arrs = [
+            np.asarray(a, dtype=np.uint64) if a is not None and len(a) else None
+            for a in hs
+        ]
+        shifts = np.arange(64, dtype=np.uint64)[None, :]
+        powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        live = [i for i in range(R) if arrs[i] is not None]
+        pos = 0
+        while pos < len(live):
+            # chunk rows so flattened token count stays ≤ ~1M
+            end, ntok = pos, 0
+            while end < len(live) and (ntok == 0 or ntok < 1_000_000):
+                ntok += len(arrs[live[end]])
+                end += 1
+            chunk = live[pos:end]
+            pos = end
+            lens = np.array([len(arrs[i]) for i in chunk])
+            starts = np.concatenate([[0], np.cumsum(lens[:-1])])
+            flat = np.concatenate([arrs[i] for i in chunk])
+            bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+            ones = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
+            # votes = 2*ones - ntok_row; sign bit set when votes > 0
+            word = (
+                ((2 * ones - lens[:, None]) > 0).astype(np.uint64) * powers[None, :]
+            ).sum(axis=1, dtype=np.uint64)
             # two's-complement wrap into int64 (Spark LongType)
-            out[i] = int(word.sum(dtype=np.uint64).astype(np.int64))
+            out[chunk] = word.astype(np.int64)
         return pd.Series(out)
 
     fold_udf = F.pandas_udf(fold, "long")

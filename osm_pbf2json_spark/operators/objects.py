@@ -18,7 +18,6 @@ from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
 from ..functions.filter_dsl import Group, compile_groups, parse
-from ..functions.geometry import geo_info
 from .closure import EntityTables, closure
 from .resolve import resolve_relation_coords, resolve_way_coords
 
@@ -28,23 +27,101 @@ GEO_SCHEMA = (
 )
 
 
-def _geo_info_batch(coords: pd.Series) -> pd.DataFrame:
-    """Vectorized shape→(centroid,bounds) over an Arrow batch of entities."""
-    cents = []
-    bnds = []
-    for arr in coords:
-        if arr is None or len(arr) == 0:
-            cents.append(None)
-            bnds.append(None)
+def _geo_info_batch(lons: pd.Series, lats: pd.Series) -> pd.DataFrame:
+    """Shape→(centroid,bounds) over an Arrow batch, OFFSETS-BASED: all
+    rows' coords are flattened into one buffer and every reduction
+    (bounds max/min, segment lengths, shoelace sums) runs as a single
+    `ufunc.reduceat` over the row-start offsets — no per-point Python.
+    Per-row work is only the O(#rows) output-dict construction.
+
+    Semantics are geo.rs:291-346 exactly (shape dispatch: closed ring →
+    shoelace centroid with zero-area fallback to the linestring
+    centroid; open → length-weighted segment-midpoint centroid with
+    zero-length fallback to the first point)."""
+    R = len(lons)
+    cents: list = [None] * R
+    bnds: list = [None] * R
+    rows = []  # (row_idx, lon_arr, lat_arr) for non-empty rows
+    for i in range(R):
+        lo = lons.iloc[i]
+        if lo is None or len(lo) == 0:
             continue
-        info = geo_info(np.array([(c["lon"], c["lat"]) for c in arr], np.float64))
-        if info is None:
-            cents.append(None)
-            bnds.append(None)
-        else:
-            clon, clat, e, n, s, w = info
-            cents.append({"lat": clat, "lon": clon})
-            bnds.append({"e": e, "n": n, "s": s, "w": w})
+        rows.append((i, np.asarray(lo, np.float64), np.asarray(lats.iloc[i], np.float64)))
+    if not rows:
+        return pd.DataFrame({"centroid": cents, "bounds": bnds})
+
+    idxs = np.array([r[0] for r in rows])
+    lens = np.array([len(r[1]) for r in rows])
+    starts = np.concatenate([[0], np.cumsum(lens[:-1])])
+    ends = starts + lens
+    x = np.concatenate([r[1] for r in rows])
+    y = np.concatenate([r[2] for r in rows])
+
+    e = np.maximum.reduceat(x, starts)
+    n = np.maximum.reduceat(y, starts)
+    s = np.minimum.reduceat(y, starts)
+    w = np.minimum.reduceat(x, starts)
+
+    # global per-segment arrays (length N, one slot per point; the slot
+    # at each row's LAST point is a row-crossing segment → zeroed), so
+    # reduceat over `starts` buckets exactly each row's own segments
+    N = len(x)
+    dx = np.zeros(N)
+    dy = np.zeros(N)
+    dx[:-1] = x[1:] - x[:-1]
+    dy[:-1] = y[1:] - y[:-1]
+    cross = np.zeros(N)
+    cross[:-1] = x[:-1] * y[1:] - x[1:] * y[:-1]
+    last = ends - 1
+    dx[last] = 0.0
+    dy[last] = 0.0
+    cross[last] = 0.0
+
+    seg_len = np.hypot(dx, dy)
+    mid_x = np.zeros(N)
+    mid_y = np.zeros(N)
+    mid_x[:-1] = (x[:-1] + x[1:]) * 0.5
+    mid_y[:-1] = (y[:-1] + y[1:]) * 0.5
+    sum_x = np.zeros(N)
+    sum_y = np.zeros(N)
+    sum_x[:-1] = x[:-1] + x[1:]
+    sum_y[:-1] = y[:-1] + y[1:]
+
+    total = np.add.reduceat(seg_len, starts)
+    wx = np.add.reduceat(mid_x * seg_len, starts)
+    wy = np.add.reduceat(mid_y * seg_len, starts)
+    area2 = np.add.reduceat(cross, starts)
+    cwx = np.add.reduceat(sum_x * cross, starts)
+    cwy = np.add.reduceat(sum_y * cross, starts)
+
+    closed = (lens >= 2) & (x[starts] == x[last]) & (y[starts] == y[last])
+    use_poly = closed & (area2 != 0.0)
+    use_line = ~use_poly & (total != 0.0)
+
+    clon = np.where(
+        use_poly,
+        np.divide(cwx, 3.0 * area2, out=np.zeros_like(cwx), where=area2 != 0.0),
+        np.divide(wx, total, out=x[starts].copy(), where=total != 0.0),
+    )
+    clat = np.where(
+        use_poly,
+        np.divide(cwy, 3.0 * area2, out=np.zeros_like(cwy), where=area2 != 0.0),
+        np.divide(wy, total, out=y[starts].copy(), where=total != 0.0),
+    )
+    # degenerate (single point / zero length, not a nonzero-area ring):
+    # geo falls back to the first point
+    degen = ~use_poly & ~use_line
+    clon[degen] = x[starts][degen]
+    clat[degen] = y[starts][degen]
+
+    for j, i in enumerate(idxs):
+        cents[i] = {"lat": float(clat[j]), "lon": float(clon[j])}
+        bnds[i] = {
+            "e": float(e[j]),
+            "n": float(n[j]),
+            "s": float(s[j]),
+            "w": float(w[j]),
+        }
     return pd.DataFrame({"centroid": cents, "bounds": bnds})
 
 
@@ -98,7 +175,7 @@ def objects(
             "tags",
             F.lit(None).cast("double").alias("lon"),
             F.lit(None).cast("double").alias("lat"),
-            _geo_info_udf()("coords").alias("geo"),
+            _geo_info_udf()(F.col("coords.lon"), F.col("coords.lat")).alias("geo"),
             (
                 F.col("coords") if retain_coordinates else F.lit(None).cast(
                     "array<struct<lon:double,lat:double>>"

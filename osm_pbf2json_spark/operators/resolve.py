@@ -169,7 +169,10 @@ def resolve_relation_coords(
                 "id",
                 F.coalesce("flat", F.array().cast(COORD_ARR)).alias("flat"),
             )
-            .select("id", hull_udf("flat").alias("coords"))
+            .select(
+                "id",
+                hull_udf(F.col("flat.lon"), F.col("flat.lat")).alias("coords"),
+            )
         )
         resolved = _pin(lvl if resolved is None else resolved.unionByName(lvl))
 
@@ -178,13 +181,19 @@ def resolve_relation_coords(
     return resolved
 
 
-def _hull_series(flat: pd.Series) -> pd.Series:
-    """Arrow-batched hull: one hull per relation's flattened member coords."""
+def _hull_series(lons: pd.Series, lats: pd.Series) -> pd.Series:
+    """Arrow-batched hull: one hull per relation's flattened member
+    coords. Input arrives as two parallel double arrays (extracted from
+    the struct array JVM-side), so marshaling is a zero-copy
+    np.column_stack — no per-point dict access; only the hull's own
+    monotone chain is per-row."""
     out = []
-    for arr in flat:
-        if arr is None or len(arr) == 0:
+    for lo, la in zip(lons, lats):
+        if lo is None or len(lo) == 0:
             out.append([])
             continue
-        pts = np.array([(c["lon"], c["lat"]) for c in arr], dtype=np.float64)
+        pts = np.column_stack(
+            [np.asarray(lo, np.float64), np.asarray(la, np.float64)]
+        )
         out.append([{"lon": x, "lat": y} for x, y in compound_coordinates(pts)])
     return pd.Series(out)

@@ -358,36 +358,63 @@ def assign_tiles(
     Point geometries map to exactly their containing tile.
     """
 
-    def covering(coords: pd.Series) -> pd.Series:
-        out = []
-        for arr in coords:
-            if arr is None or len(arr) == 0:
-                out.append([])
+    def covering(lons: pd.Series, lats: pd.Series) -> pd.Series:
+        # OFFSETS-BASED batch kernel: the dominant case (point
+        # geometries — every web-page geo-anchor is a point) is ONE
+        # vectorized cell call over the whole batch; multi-point rows
+        # get their bboxes from reduceat over the flattened buffer, and
+        # only the per-bbox grid sweep remains per-row (it emits many
+        # cells per call).
+        R = len(lons)
+        out: list = [[]] * R
+        pt_idx: list[int] = []
+        pt_lon: list[float] = []
+        pt_lat: list[float] = []
+        multi: list[tuple[int, np.ndarray, np.ndarray]] = []
+        for i in range(R):
+            lo = lons.iloc[i]
+            if lo is None or len(lo) == 0:
                 continue
-            pts = np.array([(c["lon"], c["lat"]) for c in arr], np.float64)
-            if len(pts) == 1:
-                if grid == "hex":
-                    out.append(T.hex_cell(pts[:, 0], pts[:, 1], res).tolist())
-                else:
-                    out.append(T.quad_cell(pts[:, 0], pts[:, 1], res).tolist())
-                continue
-            if grid == "hex":
-                cells = T.hex_covering_bbox(
-                    pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max(), res
-                )
+            if len(lo) == 1:
+                pt_idx.append(i)
+                pt_lon.append(lo[0])
+                pt_lat.append(lats.iloc[i][0])
             else:
-                # exact-level covering: tile ids embed the level, and the
-                # inverse/point joins assume one shared level
-                cells = T.quad_covering_bbox(
-                    pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max(),
-                    res, max_cells=None,
+                multi.append(
+                    (i, np.asarray(lo, np.float64), np.asarray(lats.iloc[i], np.float64))
                 )
-            out.append(cells.tolist())
+        if pt_idx:
+            cellfn = T.hex_cell if grid == "hex" else T.quad_cell
+            cells = cellfn(np.array(pt_lon), np.array(pt_lat), res)
+            for j, i in enumerate(pt_idx):
+                out[i] = [int(cells[j])]
+        if multi:
+            lens = np.array([len(m[1]) for m in multi])
+            starts = np.concatenate([[0], np.cumsum(lens[:-1])])
+            x = np.concatenate([m[1] for m in multi])
+            y = np.concatenate([m[2] for m in multi])
+            xmin = np.minimum.reduceat(x, starts)
+            xmax = np.maximum.reduceat(x, starts)
+            ymin = np.minimum.reduceat(y, starts)
+            ymax = np.maximum.reduceat(y, starts)
+            for j, (i, _, _) in enumerate(multi):
+                if grid == "hex":
+                    cells = T.hex_covering_bbox(xmin[j], ymin[j], xmax[j], ymax[j], res)
+                else:
+                    # exact-level covering: tile ids embed the level, and
+                    # the inverse/point joins assume one shared level
+                    cells = T.quad_covering_bbox(
+                        xmin[j], ymin[j], xmax[j], ymax[j], res, max_cells=None
+                    )
+                out[i] = cells.tolist()
         return pd.Series(out)
 
     covering_udf = F.pandas_udf(covering, "array<long>")
     return geoms.select(
-        F.col(id_col).alias("id"), F.explode(covering_udf(coords_col)).alias("tile")
+        F.col(id_col).alias("id"),
+        F.explode(
+            covering_udf(F.col(coords_col + ".lon"), F.col(coords_col + ".lat"))
+        ).alias("tile"),
     )
 
 

@@ -179,6 +179,50 @@ def test_winnowing_fingerprints(spark):
     assert overlap_14 > 0.5 > overlap_13
 
 
+def test_kgram_hash_vectorized_parity_and_speed():
+    """The winnowing k-gram kernel is branch-free NumPy (Mersenne-prime
+    folding), not a per-character Python loop: bit-exact vs the rolling
+    reference, ≥10× faster on a 100 KB doc (measured ~11×)."""
+    import time
+
+    import numpy as np
+
+    from osm_pbf2json_spark.functions.text import _kgram_hashes
+
+    mod = (1 << 61) - 1
+    base = 257
+
+    def ref(codes, k):
+        n = len(codes)
+        basek = pow(base, k, mod)
+        hs = np.empty(n - k + 1, dtype=np.int64)
+        h = 0
+        for c in codes[:k]:
+            h = (h * base + int(c)) % mod
+        hs[0] = h
+        for i in range(1, n - k + 1):
+            h = (h * base - int(codes[i - 1]) * basek + int(codes[i + k - 1])) % mod
+            hs[i] = h
+        return hs
+
+    rng = np.random.default_rng(7)
+    for n, k in [(1, 1), (5, 5), (37, 5), (300, 11), (6000, 3000)]:
+        codes = rng.integers(1, 0x10FFFF, size=n).astype(np.uint32)
+        assert (ref(codes, k) == _kgram_hashes(codes, k)).all(), (n, k)
+
+    doc = rng.integers(32, 1000, size=100_000).astype(np.uint32)
+    _kgram_hashes(doc, 5)  # warm numpy
+    t_new = min(
+        (lambda t0=time.perf_counter(): (_kgram_hashes(doc, 5), time.perf_counter() - t0)[1])()
+        for _ in range(7)
+    )
+    t_ref = min(
+        (lambda t0=time.perf_counter(): (ref(doc, 5), time.perf_counter() - t0)[1])()
+        for _ in range(3)
+    )
+    assert t_ref / t_new >= 10, f"speedup {t_ref / t_new:.1f}x"
+
+
 def test_pages_text_identity(spark):
     from osm_pbf2json_spark.sources.fixtures import synth_pages
     from osm_pbf2json_spark.sources.pages import verify_text_identity
