@@ -129,44 +129,119 @@ def _street_row(name: str, boundary, seg_rows: list[dict]) -> dict:
     }
 
 
+def _street_row_raw(name: str, seg_rows: list[dict]) -> dict:
+    """_street_row for the RAW segment layout (parallel lons/lats float
+    arrays instead of per-point structs): no per-point Python dict
+    construction — the public coords structs are reassembled JVM-side by
+    arrays_zip in extract_streets."""
+    seg_rows = sorted(seg_rows, key=lambda s: s["way_id"])
+    street_id = 0
+    for s in seg_rows:
+        street_id ^= int(s["way_id"])  # A3, streets.rs:38-45
+    length = float(sum(bbox_diag_length(s["xy"]) for s in seg_rows))
+    all_pts = np.vstack([s["xy"] for s in seg_rows])
+    mid = midpoint(all_pts)
+    return {
+        "id": street_id,
+        "name": name,
+        "boundary": None,
+        "length": length,
+        "loc_lon": mid[0],
+        "loc_lat": mid[1],
+        "segments": [
+            {
+                "way_id": int(s["way_id"]),
+                "lons": s["xy"][:, 0],
+                "lats": s["xy"][:, 1],
+            }
+            for s in seg_rows
+        ],
+    }
+
+
 def _cluster_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """Grouped-map kernel: one street name → one row per connected
-    component (A2)."""
+    component (A2). Coordinates arrive as parallel double arrays
+    (`_lons`/`_lats`, extracted from the struct array JVM-side) and the
+    per-segment bboxes come from ONE reduceat pass over the flattened
+    buffer — no iterrows, no per-point dict access in either direction."""
     name = pdf["name"].iloc[0]
     segs = []
-    for _, r in pdf.iterrows():
-        xy = np.array([(c["lon"], c["lat"]) for c in r["coords"]], np.float64).reshape(
-            -1, 2
-        )
-        if len(xy) == 0:
+    for wid, lo, la in zip(
+        pdf["way_id"].to_numpy(), pdf["_lons"].to_numpy(), pdf["_lats"].to_numpy()
+    ):
+        if lo is None or len(lo) == 0:
             continue  # SegmentGeometry::new fails on empty — dropped
-        segs.append({"way_id": r["way_id"], "xy": xy})
+        segs.append(
+            {
+                "way_id": wid,
+                "xy": np.column_stack(
+                    [np.asarray(lo, np.float64), np.asarray(la, np.float64)]
+                ),
+            }
+        )
     if not segs:
         return pd.DataFrame(
             columns=["id", "name", "boundary", "length", "loc_lon", "loc_lat", "segments"]
         )
-    swx = np.array([s["xy"][:, 0].min() for s in segs])
-    nex = np.array([s["xy"][:, 0].max() for s in segs])
-    swy = np.array([s["xy"][:, 1].min() for s in segs])
-    ney = np.array([s["xy"][:, 1].max() for s in segs])
+    lens = np.array([len(s["xy"]) for s in segs])
+    starts = np.concatenate([[0], np.cumsum(lens[:-1])])
+    flat_x = np.concatenate([s["xy"][:, 0] for s in segs])
+    flat_y = np.concatenate([s["xy"][:, 1] for s in segs])
+    swx = np.minimum.reduceat(flat_x, starts)
+    nex = np.maximum.reduceat(flat_x, starts)
+    swy = np.minimum.reduceat(flat_y, starts)
+    ney = np.maximum.reduceat(flat_y, starts)
     labels = _union_find_clusters(swx, swy, nex, ney)
     rows = []
     for lab in np.unique(labels):
         members = [s for s, l in zip(segs, labels) if l == lab]
-        rows.append(_street_row(name, None, members))
+        rows.append(_street_row_raw(name, members))
     return pd.DataFrame(rows)
 
 
+_STREET_RAW_SCHEMA = (
+    "id bigint, name string, boundary string, length double, "
+    "loc_lon double, loc_lat double, "
+    "segments array<struct<way_id:bigint,lons:array<double>,lats:array<double>>>"
+)
+
+
 def extract_streets(ways_filtered: DataFrame, nodes: DataFrame) -> DataFrame:
-    """F5-filtered ways + nodes → street rows (one per component)."""
+    """F5-filtered ways + nodes → street rows (one per component).
+
+    The grouped kernel exchanges coordinates as parallel double arrays
+    (Arrow primitive buffers); the public `coords` struct array is
+    reassembled JVM-side by arrays_zip — Python never touches per-point
+    structs."""
     named = ways_filtered.select(
         "id", F.col("tags").getItem("name").alias("name"), "refs"
     ).filter(F.col("name").isNotNull())
     coords = resolve_way_coords(named, nodes)
     seg_input = named.select(F.col("id").alias("way_id"), "name").join(
-        coords.select(F.col("id").alias("way_id"), "coords"), "way_id"
+        coords.select(
+            F.col("id").alias("way_id"),
+            F.col("coords.lon").alias("_lons"),
+            F.col("coords.lat").alias("_lats"),
+        ),
+        "way_id",
     )
-    return seg_input.groupBy("name").applyInPandas(_cluster_group, STREET_SCHEMA)
+    raw = seg_input.groupBy("name").applyInPandas(_cluster_group, _STREET_RAW_SCHEMA)
+    return raw.withColumn(
+        "segments",
+        F.transform(
+            "segments",
+            lambda s: F.struct(
+                s["way_id"].alias("way_id"),
+                F.transform(
+                    F.arrays_zip(s["lons"], s["lats"]),
+                    lambda p: F.struct(
+                        p["lons"].alias("lon"), p["lats"].alias("lat")
+                    ),
+                ).alias("coords"),
+            ),
+        ),
+    )
 
 
 def _parse_boundaries(boundary_rows: list[dict]):
@@ -328,11 +403,26 @@ def split_streets_by_cells(streets_df: DataFrame, boundaries_df: DataFrame, cell
     """Distributed boundary split for LARGE boundary sets (no driver
     collect, no broadcast of the polygon side).
 
-    Both sides explode to covering cells of their bboxes (pure Catalyst);
-    the cell equi-join + bbox-overlap filter yields (street, candidate
-    boundary) pairs; candidates aggregate per street and the same
-    vectorized J3→J7 kernel runs per batch with per-row candidate lists.
-    Streets with no candidates pass through with boundary NULL.
+    Shuffle-volume shape (the 100-TB concern): polygon geometry never
+    rides the candidate join. Three phases:
+
+    1. LIGHT pair generation: both sides explode to covering cells of
+       their bboxes (pure Catalyst, ids + bboxes only); the cell
+       equi-join + bbox-overlap filter yields (street, relation_id)
+       candidate pairs, aggregated to one id-set per street.
+    2. GEOMETRY delivery, once per consumer group: each candidate
+       street belongs to ONE owner cell (the cell of its bbox SW
+       corner); the distinct (owner cell, relation_id) set joins the
+       polygon table, so a boundary's multipolygon ships once per owner
+       cell that needs it — not once per candidate street, and not once
+       per covering cell of its own bbox.
+    3. COGROUP on owner cell: streets and their cell's boundary bundle
+       meet in one applyInPandas group; each boundary is parsed once per
+       group and the same vectorized J3→J7 kernel runs with per-street
+       candidate id lists.
+
+    Streets with no candidates never shuffle their segments at all —
+    they pass through (boundary NULL) via a plain union.
     """
     from .spatial import _bbox_cells
 
@@ -346,6 +436,7 @@ def split_streets_by_cells(streets_df: DataFrame, boundaries_df: DataFrame, cell
         "_sx1", F.array_max(lons)
     ).withColumn("_sy0", F.array_min(lats)).withColumn("_sy1", F.array_max(lats))
 
+    # phase 1: light cell join — NO polygons on either side
     st_cells = st.select(
         "name",
         "id",
@@ -354,69 +445,76 @@ def split_streets_by_cells(streets_df: DataFrame, boundaries_df: DataFrame, cell
             _bbox_cells(F.col("_sx0"), F.col("_sy0"), F.col("_sx1"), F.col("_sy1"), 0.0, cell)
         ).alias("_cell"),
     )
-    bd_cells = boundaries_df.select(
+    bd_light = boundaries_df.select(
         "relation_id",
-        F.col("name").alias("bname"),
-        "admin_level",
         "sw_lon", "sw_lat", "ne_lon", "ne_lat",
-        "polygons",
         F.explode(
             _bbox_cells(F.col("sw_lon"), F.col("sw_lat"), F.col("ne_lon"), F.col("ne_lat"), 0.0, cell)
         ).alias("_cell"),
     )
-    cand = (
-        st_cells.join(bd_cells, "_cell")
+    cand_ids = (
+        st_cells.join(bd_light, "_cell")
         .filter(
             (F.col("sw_lon") <= F.col("_sx1"))
             & (F.col("ne_lon") >= F.col("_sx0"))
             & (F.col("sw_lat") <= F.col("_sy1"))
             & (F.col("ne_lat") >= F.col("_sy0"))
         )
-        .dropDuplicates(["name", "id", "relation_id"])
         .groupBy("name", "id")
-        .agg(
-            F.collect_list(
-                F.struct(
-                    F.col("bname").alias("name"),
-                    "admin_level",
-                    "relation_id",
-                    "sw_lon", "sw_lat", "ne_lon", "ne_lat",
-                    "polygons",
-                )
-            ).alias("_cands")
-        )
+        .agg(F.collect_set("relation_id").alias("_cand_ids"))
     )
-    joined = streets_df.join(cand, ["name", "id"], "left")
 
-    def split(iterator):
-        for pdf in iterator:
-            if not len(pdf):
-                yield pd.DataFrame(columns=_STREET_COLS)
-                continue
-            # local boundary universe for this batch, deduped + sorted in
-            # the same deterministic order as the broadcast path
-            seen: dict[int, dict] = {}
-            for cl in pdf["_cands"]:
-                if cl is None:
-                    continue
-                for b in cl:
-                    seen.setdefault(b["relation_id"], b)
-            bnds, polys, bb = _parse_boundaries(list(seen.values()))
-            local_idx = {b["relation_id"]: i for i, b in enumerate(bnds)}
-            cand_lists = [
-                [] if cl is None else sorted(local_idx[b["relation_id"]] for b in cl)
-                for cl in pdf["_cands"]
-            ]
-            out_rows = _split_batch(
-                pdf.drop(columns=["_cands"]), bnds, polys, bb, cand_lists=cand_lists
-            )
-            yield (
-                pd.DataFrame(out_rows)[_STREET_COLS]
-                if out_rows
-                else pd.DataFrame(columns=_STREET_COLS)
-            )
+    joined = st.join(cand_ids, ["name", "id"], "left")
+    no_cand = joined.filter(F.col("_cand_ids").isNull()).select(*_STREET_COLS)
+    with_cand = joined.filter(F.col("_cand_ids").isNotNull()).withColumn(
+        "_ocx", F.floor(F.col("_sx0") / cell).cast("long")
+    ).withColumn("_ocy", F.floor(F.col("_sy0") / cell).cast("long"))
 
-    return joined.mapInPandas(split, STREET_SCHEMA)
+    # phase 2: each boundary's geometry ships once per owner cell
+    # (keys renamed _bcx/_bcy: bundles derive from with_cand, and reusing
+    # the column names would make the cogroup an ambiguous self-join;
+    # cogroup matches grouping keys positionally, not by name)
+    need = (
+        with_cand.select(
+            F.col("_ocx").alias("_bcx"),
+            F.col("_ocy").alias("_bcy"),
+            F.explode("_cand_ids").alias("relation_id"),
+        )
+        .distinct()
+    )
+    bundles = need.join(
+        boundaries_df.select(
+            "relation_id", "name", "admin_level",
+            "sw_lon", "sw_lat", "ne_lon", "ne_lat", "polygons",
+        ),
+        "relation_id",
+    )
+
+    # phase 3: cogroup — boundaries parsed once per owner-cell group
+    def split(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(left):
+            return pd.DataFrame(columns=_STREET_COLS)
+        bnds, polys, bb = _parse_boundaries(right.to_dict("records"))
+        local_idx = {b["relation_id"]: i for i, b in enumerate(bnds)}
+        cand_lists = [
+            sorted(local_idx[rid] for rid in cl if rid in local_idx)
+            for cl in left["_cand_ids"]
+        ]
+        out_rows = _split_batch(
+            left[_STREET_COLS], bnds, polys, bb, cand_lists=cand_lists
+        )
+        return (
+            pd.DataFrame(out_rows)[_STREET_COLS]
+            if out_rows
+            else pd.DataFrame(columns=_STREET_COLS)
+        )
+
+    split_out = (
+        with_cand.groupBy("_ocx", "_ocy")
+        .cogroup(bundles.groupBy("_bcx", "_bcy"))
+        .applyInPandas(split, STREET_SCHEMA)
+    )
+    return split_out.unionByName(no_cand)
 
 
 def streets(

@@ -117,3 +117,55 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_cell_split_polygons_stay_off_the_cell_join(spark):
+    """Shuffle-volume gate for split_streets_by_cells: the cell-explode
+    candidate join must shuffle ids + bboxes ONLY — no Exchange in the
+    plan may carry both the `_cell` key and the `polygons` geometry
+    (the pre-rewrite design shipped a full multipolygon per
+    street×boundary×cell candidate row)."""
+    from osm_pbf2json_spark.operators.streets import (
+        STREET_SCHEMA,
+        split_streets_by_cells,
+    )
+
+    ring = [
+        {"lon": 0.0, "lat": 0.0},
+        {"lon": 1.0, "lat": 0.0},
+        {"lon": 1.0, "lat": 1.0},
+        {"lon": 0.0, "lat": 1.0},
+        {"lon": 0.0, "lat": 0.0},
+    ]
+    bdf = spark.createDataFrame(
+        [(1, "b", 8, 0.0, 0.0, 1.0, 1.0, [[ring]])],
+        "relation_id long, name string, admin_level int, sw_lon double, "
+        "sw_lat double, ne_lon double, ne_lat double, "
+        "polygons array<array<array<struct<lon:double,lat:double>>>>",
+    )
+    sdf = spark.createDataFrame(
+        [
+            (10, "s", None, 0.1, 0.2, 0.2,
+             [{"way_id": 10, "coords": [{"lon": 0.2, "lat": 0.2},
+                                        {"lon": 0.3, "lat": 0.25}]}])
+        ],
+        STREET_SCHEMA,
+    )
+    out = split_streets_by_cells(sdf, bdf)
+    txt = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    n_exchanges = 0
+    for block in txt.split("\n\n"):
+        lines = block.splitlines()
+        if not (lines and lines[0].startswith("(") and "Exchange" in lines[0]):
+            continue
+        n_exchanges += 1
+        inp = next((ln for ln in lines if ln.startswith("Input")), "")
+        assert not ("_cell#" in inp and "polygons#" in inp), (
+            "cell-join Exchange carries polygon geometry: " + inp
+        )
+    assert n_exchanges > 0  # the gate actually inspected exchanges
+    # parity sanity on the tiny input
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["boundary"] == "b"
