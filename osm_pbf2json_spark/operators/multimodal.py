@@ -4,12 +4,14 @@ Decode support is format-tiered:
 
 - REAL decoders (pure stdlib/numpy, no external media libs needed):
   BMP (24-bit BITMAPINFOHEADER), PPM (P6), WAV (PCM16 via the stdlib
-  `wave` module), and PNG (8-bit RGB/RGBA, all five scanline filters —
-  zlib inflate IS stdlib). These produce real dimensions/sample-rates
-  and content features (mean RGB, luma stats, RMS, zero-crossing rate),
-  detected by payload magic bytes.
+  `wave` module), PNG (8-bit RGB/RGBA, all five scanline filters —
+  zlib inflate IS stdlib), and baseline JPEG (sequential DCT, Huffman,
+  grayscale/YCbCr up to 2×2 subsampling — see operators/jpeg.py).
+  These produce real dimensions/sample-rates and content features
+  (mean RGB, luma stats, RMS, zero-crossing rate), detected by payload
+  magic bytes.
 - STUBBED decode for formats whose codecs aren't in this container
-  (JPEG/MP3/MP4): `decode_features` raises
+  (progressive JPEG/MP3/MP4): `decode_features` raises
   NotImplementedError unless `fake=True`, in which case a deterministic
   featurizer (seeded from the payload hash) produces stable output so
   downstream operators stay testable end-to-end.
@@ -63,6 +65,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "wav"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
@@ -290,6 +294,11 @@ def decode_one(payload: bytes, dim: int = FEATURE_DIM):
     if fmt == "png":
         w, h, rgb = decode_png(payload)
         return fmt, w, h, None, None, _image_features(rgb, dim)
+    if fmt == "jpeg":
+        from .jpeg import decode_jpeg
+
+        w, h, rgb = decode_jpeg(payload)
+        return fmt, w, h, None, None, _image_features(rgb, dim)
     if fmt == "wav":
         rate, dur, samples = decode_wav(payload)
         return fmt, None, None, rate, dur, _audio_features(samples, dim)
@@ -311,7 +320,12 @@ def decode_media(media: DataFrame, payload_col: str = "payload", id_col: str = "
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf[id_col], pdf[payload_col]):
-                d = decode_one(bytes(p) if p is not None else b"")
+                try:
+                    d = decode_one(bytes(p) if p is not None else b"")
+                except NotImplementedError:
+                    # recognized container, unsupported coding process
+                    # (e.g. progressive JPEG) — same routing as unknown
+                    d = None
                 if d is None:
                     rows.append((mid, None, None, None, None, None, []))
                 else:
@@ -347,7 +361,10 @@ def decode_features(
             feats = []
             for p in pdf[payload_col]:
                 payload = bytes(p) if p is not None else b""
-                d = decode_one(payload)
+                try:
+                    d = decode_one(payload)
+                except NotImplementedError:
+                    d = None  # unsupported coding process → stub routing
                 if d is not None:
                     feats.append(d[5].tolist())
                 elif fake:
@@ -399,12 +416,23 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
 
 
 def synth_media_real(spark, n: int = 48) -> DataFrame:
-    """Deterministic REAL media fixture: BMP images, WAV sines, plus
-    unrecognized payloads to exercise the fallback routing."""
+    """Deterministic REAL media fixture: BMP + baseline-JPEG images, WAV
+    sines, plus unrecognized payloads to exercise the fallback routing."""
+    from .jpeg import encode_jpeg
+
     rows = []
     for i in range(n):
-        which = i % 3
-        if which == 0:
+        which = i % 4
+        if which == 3:
+            rng = np.random.Generator(np.random.PCG64(1000 + i))
+            w, h = 24, 16
+            base = np.linspace(0, 255, w, dtype=np.float64)[None, :, None]
+            rgb = np.clip(
+                base + rng.integers(0, 32, size=(h, w, 3)), 0, 255
+            ).astype(np.uint8)
+            rows.append((i, "image", encode_jpeg(rgb, quality=90),
+                         {"width": w, "height": h, "sample_rate": None, "duration_ms": None}))
+        elif which == 0:
             rng = np.random.Generator(np.random.PCG64(i))
             w, h = 16 + (i % 4) * 8, 8 + (i % 3) * 8
             rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)

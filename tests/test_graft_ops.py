@@ -525,8 +525,9 @@ def test_real_wav_decode(spark):
 
 
 def test_decode_media_mixed_formats_and_fallback(spark):
-    """BMP/WAV rows decode for real; opaque payloads come back format-NULL
-    and still flow through decode_features(fake=True)."""
+    """BMP/WAV/JPEG rows decode for real; opaque payloads come back
+    format-NULL and still flow through decode_features(fake=True) —
+    fake is no longer needed for any real image format in the mix."""
     from osm_pbf2json_spark.operators.multimodal import (
         decode_features,
         decode_media,
@@ -537,10 +538,12 @@ def test_decode_media_mixed_formats_and_fallback(spark):
     out = {r["media_id"]: r for r in decode_media(media).collect()}
     assert len(out) == 24
     for i, r in out.items():
-        if i % 3 == 0:
+        if i % 4 == 0:
             assert r["format"] == "bmp" and r["width"] == 16 + (i % 4) * 8
-        elif i % 3 == 1:
+        elif i % 4 == 1:
             assert r["format"] == "wav" and r["sample_rate"] == 8000 and r["duration_ms"] == 250
+        elif i % 4 == 3:
+            assert r["format"] == "jpeg" and (r["width"], r["height"]) == (24, 16)
         else:
             assert r["format"] is None and r["features"] == []
     # real formats decode even with fake=False; opaque ones use the stub
@@ -908,3 +911,185 @@ def test_pbf_index_truncated_files():
             except Exception:
                 continue  # clean failure is acceptable
             assert idx == full[: len(idx)], cut
+
+
+def test_jpeg_decode_spec_literal_golden():
+    """Decoder pinned by a HAND-CONSTRUCTED baseline JPEG (independent of
+    our encoder): grayscale 8x8 solid 130, unit quant table, standard
+    Annex K luma Huffman tables. DC coefficient = 8*(130-128) = 16
+    (category 5), AC = EOB. Also asserts the spec-documented code words
+    (DC cat-5 = 110b, AC EOB = 1010b) so the table builder itself is
+    checked against T.81 Annex K, not just self-consistent."""
+    import struct
+
+    from osm_pbf2json_spark.operators.jpeg import (
+        _AC_LUMA_SPEC,
+        _DC_LUMA_SPEC,
+        ZIGZAG,
+        _huff_codes,
+        decode_jpeg,
+    )
+
+    assert _huff_codes(_DC_LUMA_SPEC)[5] == (0b110, 3)
+    assert _huff_codes(_AC_LUMA_SPEC)[0x00] == (0b1010, 4)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def dht(tc, th, spec):
+        bits, vals = spec
+        return bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+
+    data = bytearray(b"\xff\xd8")
+    data += seg(0xDB, bytes([0]) + bytes([1] * 64))  # unit quant
+    data += seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    data += seg(0xC4, dht(0, 0, _DC_LUMA_SPEC))
+    data += seg(0xC4, dht(1, 0, _AC_LUMA_SPEC))
+    data += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    # entropy bits: DC cat5 '110' + value 16 '10000' + EOB '1010',
+    # padded with 1s: 1101 0000 1010 1111 = 0xD0 0xAF
+    data += bytes([0xD0, 0xAF])
+    data += b"\xff\xd9"
+
+    w, h, rgb = decode_jpeg(bytes(data))
+    assert (w, h) == (8, 8)
+    assert (rgb == 130).all()
+    assert ZIGZAG[0] == 0  # sanity: zigzag starts at DC
+
+
+def test_jpeg_decode_420_subsampled_hand_built():
+    """Hand-built 4:2:0 stream (MCU = 4 Y blocks + Cb + Cr): 16x16 solid
+    gray 100 through the full color pipeline must decode exactly —
+    validates MCU block ordering, chroma upsampling, and YCbCr→RGB."""
+    import struct
+
+    from osm_pbf2json_spark.operators.jpeg import (
+        _AC_CHROMA_SPEC,
+        _AC_LUMA_SPEC,
+        _BitWriter,
+        _DC_CHROMA_SPEC,
+        _DC_LUMA_SPEC,
+        _huff_codes,
+        decode_jpeg,
+    )
+
+    dc_l = _huff_codes(_DC_LUMA_SPEC)
+    ac_l = _huff_codes(_AC_LUMA_SPEC)
+    dc_c = _huff_codes(_DC_CHROMA_SPEC)
+    ac_c = _huff_codes(_AC_CHROMA_SPEC)
+
+    bw = _BitWriter()
+    # Y: DC = 8*(100-128) = -224 (cat 8, bits = -224 + 255 = 31)
+    code, ln = dc_l[8]
+    bw.write(code, ln)
+    bw.write(31, 8)
+    code, ln = ac_l[0x00]
+    bw.write(code, ln)
+    for _ in range(3):  # remaining Y blocks: diff 0 + EOB
+        code, ln = dc_l[0]
+        bw.write(code, ln)
+        code, ln = ac_l[0x00]
+        bw.write(code, ln)
+    for _ in range(2):  # Cb, Cr: DC 0 + EOB
+        code, ln = dc_c[0]
+        bw.write(code, ln)
+        code, ln = ac_c[0x00]
+        bw.write(code, ln)
+    bw.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def dht(tc, th, spec):
+        bits, vals = spec
+        return bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+
+    data = bytearray(b"\xff\xd8")
+    data += seg(0xDB, bytes([0]) + bytes([1] * 64))
+    data += seg(0xDB, bytes([1]) + bytes([1] * 64))
+    data += seg(
+        0xC0,
+        bytes([8]) + struct.pack(">HH", 16, 16)
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    data += seg(0xC4, dht(0, 0, _DC_LUMA_SPEC))
+    data += seg(0xC4, dht(1, 0, _AC_LUMA_SPEC))
+    data += seg(0xC4, dht(0, 1, _DC_CHROMA_SPEC))
+    data += seg(0xC4, dht(1, 1, _AC_CHROMA_SPEC))
+    data += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    data += bytes(bw.out) + bytes([bw.cur]) if bw.nbits else bytes(bw.out)
+    data += b"\xff\xd9"
+
+    w, h, rgb = decode_jpeg(bytes(data))
+    assert (w, h) == (16, 16)
+    assert (rgb == 100).all()
+
+
+def test_jpeg_round_trip():
+    """encode_jpeg → decode_jpeg: solid exact; smooth gradients within
+    tight error; q100 noise ~exact (quant steps all small)."""
+    from osm_pbf2json_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    solid = np.full((8, 8, 3), 100, np.uint8)
+    w, h, back = decode_jpeg(encode_jpeg(solid, quality=95))
+    assert (w, h) == (8, 8) and (back == 100).all()
+
+    x = np.linspace(0, 4 * np.pi, 48)
+    y = np.linspace(0, 3 * np.pi, 32)
+    gx, gy = np.meshgrid(x, y)
+    img = np.stack(
+        [
+            (127 + 120 * np.sin(gx)).astype(np.uint8),
+            (127 + 120 * np.cos(gy)).astype(np.uint8),
+            (127 + 100 * np.sin(gx + gy)).astype(np.uint8),
+        ],
+        axis=-1,
+    )
+    w, h, back = decode_jpeg(encode_jpeg(img, quality=92))
+    err = np.abs(back.astype(int) - img.astype(int))
+    assert (w, h) == (48, 32) and err.max() <= 24 and err.mean() < 4
+
+    # non-multiple-of-8 dims exercise edge-block padding + crop
+    img2 = img[:27, :41]
+    w2, h2, back2 = decode_jpeg(encode_jpeg(img2, quality=85))
+    assert (w2, h2) == (41, 27)
+    assert np.abs(back2.astype(int) - img2.astype(int)).mean() < 6
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    noise = rng.integers(0, 256, size=(24, 24, 3)).astype(np.uint8)
+    _, _, back3 = decode_jpeg(encode_jpeg(noise, quality=100))
+    assert np.abs(back3.astype(int) - noise.astype(int)).max() <= 4
+
+
+def test_jpeg_progressive_raises_and_routes_to_stub(spark):
+    """SOF2 (progressive) raises NotImplementedError from decode_jpeg;
+    through decode_media it routes to format-NULL, and through
+    decode_features(fake=True) to the deterministic stub."""
+    import struct
+
+    import pytest
+
+    from osm_pbf2json_spark.operators.jpeg import decode_jpeg
+    from osm_pbf2json_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_features,
+        decode_media,
+        sniff_format,
+    )
+
+    body = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    prog = (
+        b"\xff\xd8"
+        + bytes([0xFF, 0xC2]) + struct.pack(">H", len(body) + 2) + body
+        + b"\xff\xd9"
+    )
+    assert sniff_format(prog) == "jpeg"
+    with pytest.raises(NotImplementedError, match="progressive|baseline"):
+        decode_jpeg(prog)
+    media = spark.createDataFrame(
+        [(1, "image", prog, None)], MEDIA_SCHEMA
+    )
+    r = decode_media(media).collect()[0]
+    assert r["format"] is None and r["features"] == []
+    f = decode_features(media, fake=True).collect()[0]
+    assert len(f["features"]) == 16
