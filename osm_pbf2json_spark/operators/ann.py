@@ -280,6 +280,49 @@ def train_pq_codebooks_residual(
     return _subspace_kmeans(resid, m, k_codes, iters, seed)
 
 
+def train_opq(
+    df: DataFrame,
+    centroids: np.ndarray | None = None,
+    m: int = 8,
+    k_codes: int = 16,
+    sample_rows: int = 2048,
+    iters: int = 8,
+    outer: int = 6,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray]:
+    """OPQ (Ge et al., CVPR 2013): learn an orthonormal rotation R so
+    the product quantizer's independent-subspace assumption fits the
+    data, then train codebooks in the rotated space. Returns (R (d,d),
+    codebooks (m, k', d/m)).
+
+    Alternating minimization of ||X·R − Q(X·R)||² over R and the
+    codebooks: (1) k-means per subspace on X·R, (2) orthogonal
+    Procrustes R = U·Vᵀ from SVD(Xᵀ·recon). With `centroids` given, X
+    is the IVF residual sample (v − centroid[cell]) — the rotation then
+    composes with residual IVF-PQ. Rotation preserves dot products and
+    norms, so ADC scoring is unchanged except queries (and centroid
+    cross-terms) are rotated into codebook space."""
+    sample = _pq_sample(df, vec_col, sample_rows)
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=np.float64)
+        xn = sample / (np.linalg.norm(sample, axis=1, keepdims=True) + 1e-12)
+        target = sample - cents[(xn @ cents.T).argmax(axis=1)]
+    else:
+        target = sample
+    d = target.shape[1]
+    R = np.eye(d)
+    for _ in range(outer):
+        xr = target @ R
+        books = _subspace_kmeans(xr, m, k_codes, iters, seed)
+        codes = _encode_codes(xr, books, (books**2).sum(axis=2))
+        recon = np.concatenate([books[s][codes[:, s]] for s in range(m)], axis=1)
+        u, _s, vt = np.linalg.svd(target.T @ recon)
+        R = u @ vt
+    books = _subspace_kmeans(target @ R, m, k_codes, iters, seed)
+    return R, books
+
+
 def _pq_sample(df: DataFrame, vec_col: str, sample_rows: int) -> np.ndarray:
     return np.array(
         [
@@ -451,11 +494,13 @@ def cosine_topk_ivfpq(
     k_codes: int = 16,
     rerank: int = 0,
     residual: bool = False,
+    opq: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
     centroids: np.ndarray | None = None,
     codebooks: np.ndarray | None = None,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-PQ — the canonical 10^9+-vector ANN layout (FAISS IVFPQ shape,
     built from this module's own pieces): an IVF coarse quantizer prunes
@@ -478,7 +523,13 @@ def cosine_topk_ivfpq(
     standard accuracy upgrade: residuals concentrate near the origin,
     so the same code budget captures more variance. The reconstruction
     norm then needs the centroid×code cross terms; they are precomputed
-    as a (cells × m × k_codes) table in the kernel closure."""
+    as a (cells × m × k_codes) table in the kernel closure.
+
+    `opq=True` additionally learns an orthonormal rotation (train_opq)
+    and PQ-encodes the ROTATED target. Rotation preserves dots/norms,
+    so ADC is unchanged with queries (and, under residual, the centroid
+    cross-term tables) rotated into codebook space — q·v = q·c +
+    (qR)·((v−c)R)."""
     from ..plans.partitioning import widen_narrow_input
 
     df = widen_narrow_input(df)
@@ -492,15 +543,31 @@ def cosine_topk_ivfpq(
         centroids = train_ivf_centroids(df, n_centroids, vec_col=vec_col, seed=seed)
     cents = np.asarray(centroids, dtype=np.float64)
     if codebooks is None:
-        codebooks = (
-            train_pq_codebooks_residual(
-                df, cents, m=m, k_codes=k_codes, vec_col=vec_col, seed=seed
+        if opq:
+            rotation, codebooks = train_opq(
+                df,
+                cents if residual else None,
+                m=m,
+                k_codes=k_codes,
+                vec_col=vec_col,
+                seed=seed,
             )
-            if residual
-            else train_pq_codebooks(
-                df, m=m, k_codes=k_codes, vec_col=vec_col, seed=seed
+        else:
+            codebooks = (
+                train_pq_codebooks_residual(
+                    df, cents, m=m, k_codes=k_codes, vec_col=vec_col, seed=seed
+                )
+                if residual
+                else train_pq_codebooks(
+                    df, m=m, k_codes=k_codes, vec_col=vec_col, seed=seed
+                )
             )
+    elif opq and rotation is None:
+        raise ValueError(
+            "opq=True with caller-supplied codebooks requires the rotation "
+            "they were trained with"
         )
+    R = np.asarray(rotation, dtype=np.float64) if rotation is not None else None
     # NB with residual=True a caller-supplied codebook MUST be
     # residual-trained against `centroids` (train_pq_codebooks_residual);
     # raw-trained codebooks would yield silently wrong cosines.
@@ -512,6 +579,8 @@ def cosine_topk_ivfpq(
         xn = x / (np.linalg.norm(x, axis=1, keepdims=True) + 1e-12)
         cell = (xn @ cents.T).argmax(axis=1)
         target = x - cents[cell] if residual else x
+        if R is not None:
+            target = target @ R
         out = _encode_codes(target, codebooks, enc_n2)
         return pd.DataFrame({"cell": cell.astype(np.int64), "codes": list(out)})
 
@@ -523,7 +592,14 @@ def cosine_topk_ivfpq(
     )
 
     spark = df.sparkSession
-    qids, qns, luts = _adc_luts(queries, codebooks)
+    # LUTs are partial dots against codebooks, which live in ROTATED
+    # space under OPQ — rotate the queries to match (|q| is invariant)
+    lut_queries = (
+        [(qid, np.asarray(q, dtype=np.float64) @ R) for qid, q in queries]
+        if R is not None
+        else queries
+    )
+    qids, qns, luts = _adc_luts(lut_queries, codebooks)
     qpos_of = {q: i for i, q in enumerate(qids)}
     qcells = []
     for qid, q in queries:
@@ -545,7 +621,10 @@ def cosine_topk_ivfpq(
         used = sorted({c for _qid, _qp, c in qcells})
         remap = np.full(len(cents), -1, dtype=np.int64)
         remap[used] = np.arange(len(used))
-        cu = cents[used].reshape(len(used), m, sub)
+        # cross terms pair centroids with code vectors, so under OPQ the
+        # centroids are rotated into codebook space too
+        cu_flat = cents[used] @ R if R is not None else cents[used]
+        cu = cu_flat.reshape(len(used), m, sub)
         cross = 2.0 * np.einsum("skd,csd->csk", codebooks, cu)
         tot2_flat = (cross + cb_n2[None, :, :]).reshape(len(used), m * k_codes)
         cnorm2_used = (cents[used] ** 2).sum(axis=1)

@@ -473,16 +473,22 @@ def point_tile(points: DataFrame, res: int, lon_col="lon", lat_col="lat", grid="
 
 def knn_join(
     points: DataFrame,
-    queries: list[tuple],
+    queries,
     k: int = 5,
     res: int = 7,
     id_col: str = "id",
     lon_col: str = "lon",
     lat_col: str = "lat",
+    query_chunk: int = 256,
 ) -> DataFrame:
     """Exact kNN for each (qid, qlon, qlat) query by planar degree
     distance (the engine's geometry is planar-degree throughout, like the
     reference's euclidean geo math); haversine meters reported alongside.
+
+    `queries` is a list of (qid, qlon, qlat) tuples OR a DataFrame with
+    columns (qid, lon, lat) — the query side is the SMALL side of this
+    design (it is broadcast against the corpus), so a DataFrame query
+    side is collected; the corpus side never is.
 
     Exactly TWO Spark jobs, no driver-side expansion loop and no
     crossJoin fallback:
@@ -499,6 +505,9 @@ def knn_join(
     neighborhoods never trigger a full scan — the bound just widens to
     however many occupied tiles are actually needed. If the corpus holds
     fewer than k points, all occupied tiles are selected (D_k = ∞).
+    Selection is ONE numpy broadcast per `query_chunk` queries (no
+    per-query Python loop); chunking bounds the (queries × tiles)
+    matrices at a few hundred MB even for a planet-scale histogram.
 
     The histogram is O(occupied tiles at `res`): choose `res` so it
     stays driver-sized (coarser for sparser corpora); at planet scale a
@@ -510,13 +519,21 @@ def knn_join(
     JVM-side/whole-stage-codegen; no Python touches the corpus.
     """
     spark = points.sparkSession
+    if isinstance(queries, DataFrame):
+        queries = [
+            (r["qid"], float(r["lon"]), float(r["lat"]))
+            for r in queries.select("qid", "lon", "lat").collect()
+        ]
     s = float(T.hex_size(res))
     cx = F.floor(F.col(lon_col) / s).cast("long")
     cy = F.floor(F.col(lat_col) / s).cast("long")
+    # NOT cached: the corpus is scanned twice (histogram, candidate
+    # join) — at target scale a 100-TB corpus must not pin executor
+    # storage memory between the two jobs
     pts = points.select(
         id_col, lon_col, lat_col,
         ((cx + F.lit(1 << 20)) * F.lit(1 << 21) + (cy + F.lit(1 << 20))).alias("tile"),
-    ).cache()
+    )
 
     hist = (
         pts.groupBy("tile")
@@ -538,22 +555,38 @@ def knn_join(
     by0 = np.array([r["y0"] for r in hist], dtype=np.float64)
     by1 = np.array([r["y1"] for r in hist], dtype=np.float64)
 
+    qid_arr = np.array([q[0] for q in queries], dtype=np.int64)
+    qlon_arr = np.array([q[1] for q in queries], dtype=np.float64)
+    qlat_arr = np.array([q[2] for q in queries], dtype=np.float64)
     qrows = []
-    for qid, qlon, qlat in queries:
+    for c0 in range(0, len(queries), max(1, query_chunk)):
+        ql = qlon_arr[c0 : c0 + query_chunk][:, None]  # (Q, 1)
+        qt = qlat_arr[c0 : c0 + query_chunk][:, None]
         dmin = np.hypot(
-            np.maximum(np.maximum(bx0 - qlon, qlon - bx1), 0.0),
-            np.maximum(np.maximum(by0 - qlat, qlat - by1), 0.0),
+            np.maximum(np.maximum(bx0[None, :] - ql, ql - bx1[None, :]), 0.0),
+            np.maximum(np.maximum(by0[None, :] - qt, qt - by1[None, :]), 0.0),
         )
         dmax = np.hypot(
-            np.maximum(np.abs(qlon - bx0), np.abs(qlon - bx1)),
-            np.maximum(np.abs(qlat - by0), np.abs(qlat - by1)),
+            np.maximum(np.abs(ql - bx0[None, :]), np.abs(ql - bx1[None, :])),
+            np.maximum(np.abs(qt - by0[None, :]), np.abs(qt - by1[None, :])),
         )
-        order = np.argsort(dmax, kind="stable")
-        csum = np.cumsum(cnt[order])
-        pos = int(np.searchsorted(csum, k))
-        dk = np.inf if pos >= len(order) else float(dmax[order[pos]])
-        for t in tiles[dmin <= dk].tolist():
-            qrows.append((int(qid), float(qlon), float(qlat), int(t)))
+        order = np.argsort(dmax, axis=1, kind="stable")
+        csum = np.cumsum(cnt[order], axis=1)
+        pos = (csum < k).sum(axis=1)  # first index where csum >= k
+        in_range = pos < order.shape[1]
+        dk = np.full(len(order), np.inf)
+        rows_ok = np.flatnonzero(in_range)
+        dk[rows_ok] = dmax[rows_ok, order[rows_ok, pos[rows_ok]]]
+        qi, ti = np.nonzero(dmin <= dk[:, None])
+        for a, b in zip(qi, ti):
+            qrows.append(
+                (
+                    int(qid_arr[c0 + a]),
+                    float(qlon_arr[c0 + a]),
+                    float(qlat_arr[c0 + a]),
+                    int(tiles[b]),
+                )
+            )
     qdf = spark.createDataFrame(qrows, "qid long, qlon double, qlat double, tile long")
 
     w = Window.partitionBy("qid").orderBy(F.col("dist_deg").asc(), F.col(id_col).asc())

@@ -880,6 +880,47 @@ def test_ivfpq_residual_beats_raw(spark):
     assert resid >= 5, resid
 
 
+def test_ivfpq_opq_rotation_improves_recall(spark):
+    """OPQ (learned orthonormal rotation before PQ) must beat raw-vector
+    PQ and at least match residual-only recall@10 on the deterministic
+    training setup (measured: raw 0.43, residual 0.475, opq 0.52 over 12
+    queries). The rotation is orthonormal by construction and the
+    self-query still ranks itself first."""
+    import pyspark.sql.functions as F
+    from osm_pbf2json_spark.operators.ann import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivfpq,
+        train_opq,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    R, books = train_opq(emb, m=8, k_codes=16)
+    assert np.abs(R @ R.T - np.eye(R.shape[0])).max() < 1e-9
+
+    qrows = emb.filter(F.col("vec_id") < 12).collect()
+    queries = [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in qrows]
+    ex = {}
+    for r in cosine_topk_bruteforce(emb, queries, k=10).collect():
+        ex.setdefault(r["qid"], set()).add(r["neighbor_id"])
+
+    def recall(**kw):
+        got = {}
+        out = cosine_topk_ivfpq(
+            emb, queries, k=10, n_probe=16, m=8, k_codes=64, **kw
+        ).collect()
+        for r in out:
+            got.setdefault(r["qid"], set()).add(r["neighbor_id"])
+        for q in ex:
+            assert q in got[q]  # self-hit survives rotation
+        return sum(len(ex[q] & got.get(q, set())) for q in ex) / (10 * len(ex))
+
+    raw = recall()
+    opq = recall(opq=True)
+    resid = recall(residual=True)
+    assert opq > raw, (raw, opq)
+    assert opq >= resid, (resid, opq)
+
+
 def test_png_mixed_filters_roundtrip():
     """Per-scanline filter mixing (libpng adaptive style) round-trips."""
     from osm_pbf2json_spark.operators.multimodal import decode_png, encode_png
