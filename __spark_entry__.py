@@ -1052,6 +1052,43 @@ def q_pq_assign(spark, sf_dir):
     return out.select("neighbor_id", "rank")
 
 
+def _opq_fixed(dim: int = 64, seed: int = 29):
+    """Deterministic orthonormal rotation + codebooks for the
+    oracle-checked OPQ encode path (training is exercised separately in
+    pytest; this pins the rotated-ADC arithmetic)."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    q, _ = np.linalg.qr(rng.normal(size=(dim, dim)))
+    return q, _pq_fixed_codebooks(seed=31)
+
+
+def q_opq_assign(spark, sf_dir):
+    """OPQ-rotated PQ encode + ADC top-k against a FIXED rotation and
+    codebooks, with a single zero centroid so IVF is a pass-through
+    (every row probed): the SQL mirror folds the rotation into
+    back-rotated code vectors u[s,c] = R_sub[s] @ cb[s,c], so
+    dot(rot(v)_s, cb[s,c]) = dot(v, u[s,c]) needs no matrix algebra in
+    DuckDB."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    R, C = _opq_fixed()
+    out = ann.cosine_topk_ivfpq(
+        emb,
+        [(0, [float(x) for x in qv])],
+        k=5,
+        n_probe=1,
+        residual=False,
+        opq=True,
+        centroids=np.zeros((1, len(qv))),
+        codebooks=C,
+        rotation=R,
+    )
+    return out.select("neighbor_id", "rank")
+
+
 def q_ann_ivfpq(spark, sf_dir):
     """IVF-PQ with exact re-rank — the composed 10^9-scale ANN layout;
     rows-only (both quantizers trained at runtime), self-hit + recall
@@ -1163,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ivf_assign": q_ivf_assign,
         "pq_assign": q_pq_assign,
+        "opq_assign": q_opq_assign,
         "ann_pq": q_ann_pq,
         "ann_ivfpq": q_ann_ivfpq,
         "streets_e2e": q_streets_e2e,
@@ -1835,6 +1873,53 @@ def _pq_assign_sql(k: int = 5) -> str:
     """
 
 
+def _opq_assign_sql(k: int = 5) -> str:
+    """Mirror of q_opq_assign. Rotation folded into literals: with
+    rotated vectors v·R, the per-subspace dot (v·R)_s · cb[s,c] equals
+    v · (R_s · cb[s,c]) =: v · u[s,c], so the mirror is the pq_assign
+    mirror with full-length back-rotated code vectors and |c|² (the
+    UNrotated code norm, exactly the arithmetic the Spark kernel uses
+    for both argmin and the ADC denominator)."""
+    import numpy as np
+
+    R, C = _opq_fixed()
+    m, kc, sub = C.shape
+    vals = []
+    for s in range(m):
+        Rs = R[:, s * sub : (s + 1) * sub]
+        for c in range(kc):
+            u = Rs @ C[s, c]
+            vec = "[" + ",".join(repr(float(x)) for x in u) + "]"
+            n2 = repr(float((C[s, c] ** 2).sum()))
+            vals.append(f"({s},{c},{vec}::DOUBLE[],{n2})")
+    cb_values = ",".join(vals)
+    return f"""
+        WITH b AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        cb(s, c, vec, n2) AS (VALUES {cb_values}),
+        q AS (SELECT v AS qv, sqrt(list_inner_product(v, v)) AS qn
+              FROM b WHERE nid = 0),
+        d AS (SELECT b.nid, cb.s, cb.c, cb.n2,
+                     list_inner_product(b.v, cb.vec) AS dt
+              FROM b CROSS JOIN cb),
+        sel AS (SELECT nid, s, c FROM (
+                  SELECT nid, s, c,
+                         row_number() OVER (PARTITION BY nid, s
+                                            ORDER BY n2 - 2 * dt ASC, c ASC) AS rk
+                  FROM d) t WHERE rk = 1),
+        qd AS (SELECT cb.s, cb.c, cb.n2,
+                      list_inner_product(q.qv, cb.vec) AS qdt
+               FROM cb CROSS JOIN q),
+        sc AS (SELECT sel.nid, sum(qd.qdt) AS num, sum(qd.n2) AS vn2
+               FROM sel JOIN qd ON qd.s = sel.s AND qd.c = sel.c
+               GROUP BY sel.nid)
+        SELECT nid AS neighbor_id,
+               row_number() OVER (
+                 ORDER BY num / (q.qn * sqrt(vn2) + 1e-12) DESC, nid) AS rank
+        FROM sc CROSS JOIN q QUALIFY rank <= {k}
+    """
+
+
 def _hash_split_sql(fractions=(0.9, 0.05, 0.05), seed: int = 42) -> str:
     """Mirror of sampling.hash_split(method='md5'): identical md5 hex
     prefix compared against identical thresholds (generated by the same
@@ -2361,6 +2446,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ann_lsh_sql(5, 6, 64),
         "ivf_assign": _ivf_assign_sql(5, 3),
         "pq_assign": _pq_assign_sql(5),
+        "opq_assign": _opq_assign_sql(5),
         "url_canonical": _url_sql(),
         "url_dedup": _url_sql(path_mod=1000, dedup=True),
     }

@@ -54,54 +54,72 @@ STREET_SCHEMA = (
 )
 
 
+def _connected_labels(n: int, ei: np.ndarray, ej: np.ndarray) -> np.ndarray:
+    """Vectorized connected components over edge arrays: hash-to-min
+    label propagation with pointer doubling — O(E) numpy work per round,
+    O(log n) rounds; no per-edge Python."""
+    labels = np.arange(n)
+    if len(ei):
+        while True:
+            mn = labels.copy()
+            np.minimum.at(mn, ei, labels[ej])
+            np.minimum.at(mn, ej, labels[ei])
+            mn = np.minimum(mn, mn[mn])  # pointer doubling
+            if (mn == labels).all():
+                break
+            labels = mn
+    return labels
+
+
 def _union_find_clusters(swx, swy, nex, ney) -> np.ndarray:
     """Cluster ids for segments whose padded bboxes overlap (J6 edges).
 
     Grid-bucketed: each padded bbox registers in the ~0.02° cells it
-    covers; only same-cell pairs are tested. Exact test reproduces
-    streets.rs:125-141 (pad one side by 0.002°; symmetric).
+    covers (one vectorized repeat/arange pass, no per-segment Python);
+    only same-cell pairs are tested (exact test reproduces
+    streets.rs:125-141 — pad one side by 0.002°; symmetric), and the
+    edges feed a vectorized min-label propagation instead of a
+    per-pair Python union-find.
     """
     n = len(swx)
-    parent = np.arange(n)
-
-    def find(i):
-        while parent[i] != i:
-            parent[i] = parent[parent[i]]
-            i = parent[i]
-        return i
-
-    def union(i, j):
-        ri, rj = find(i), find(j)
-        if ri != rj:
-            parent[rj] = ri
-
     p = RTREE_PADDING
     cell = 0.02
-    buckets: dict[tuple[int, int], list[int]] = {}
-    for i in range(n):
-        x0 = int(np.floor((swx[i] - p) / cell))
-        x1 = int(np.floor((nex[i] + p) / cell))
-        y0 = int(np.floor((swy[i] - p) / cell))
-        y1 = int(np.floor((ney[i] + p) / cell))
-        for cx in range(x0, x1 + 1):
-            for cy in range(y0, y1 + 1):
-                buckets.setdefault((cx, cy), []).append(i)
-    for idx in buckets.values():
-        if len(idx) < 2:
+    cx0 = np.floor((swx - p) / cell).astype(np.int64)
+    cx1 = np.floor((nex + p) / cell).astype(np.int64)
+    cy0 = np.floor((swy - p) / cell).astype(np.int64)
+    cy1 = np.floor((ney + p) / cell).astype(np.int64)
+    wid = cx1 - cx0 + 1
+    hei = cy1 - cy0 + 1
+    ncell = wid * hei
+    seg_of = np.repeat(np.arange(n), ncell)
+    offs = np.arange(ncell.sum()) - np.repeat(
+        np.concatenate([[0], np.cumsum(ncell[:-1])]), ncell
+    )
+    wrep = np.repeat(wid, ncell)
+    cellx = np.repeat(cx0, ncell) + offs % wrep
+    celly = np.repeat(cy0, ncell) + offs // wrep
+    key = cellx * np.int64(1 << 32) + celly  # cells are few enough not to collide
+    order = np.lexsort((seg_of, key))
+    ks, ss = key[order], seg_of[order]
+    bounds = np.flatnonzero(np.concatenate([[True], ks[1:] != ks[:-1], [True]]))
+
+    eis, ejs = [], []
+    for b0, b1 in zip(bounds[:-1], bounds[1:]):
+        if b1 - b0 < 2:
             continue
-        ids = np.array(idx)
-        a_swx, a_swy = swx[ids][:, None], swy[ids][:, None]
-        a_nex, a_ney = nex[ids][:, None], ney[ids][:, None]
+        ids = ss[b0:b1]
         hit = (
-            (a_swx - p <= nex[ids][None, :])
-            & (a_nex + p >= swx[ids][None, :])
-            & (a_swy - p <= ney[ids][None, :])
-            & (a_ney + p >= swy[ids][None, :])
+            (swx[ids][:, None] - p <= nex[ids][None, :])
+            & (nex[ids][:, None] + p >= swx[ids][None, :])
+            & (swy[ids][:, None] - p <= ney[ids][None, :])
+            & (ney[ids][:, None] + p >= swy[ids][None, :])
         )
         ii, jj = np.nonzero(np.triu(hit, k=1))
-        for a, b in zip(ids[ii], ids[jj]):
-            union(a, b)
-    return np.array([find(i) for i in range(n)])
+        eis.append(ids[ii])
+        ejs.append(ids[jj])
+    ei = np.concatenate(eis) if eis else np.empty(0, np.int64)
+    ej = np.concatenate(ejs) if ejs else np.empty(0, np.int64)
+    return _connected_labels(n, ei, ej)
 
 
 def _street_row(name: str, boundary, seg_rows: list[dict]) -> dict:
