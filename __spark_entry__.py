@@ -814,6 +814,11 @@ def q_streets_e2e(spark, sf_dir):
         [], "id long, members array<struct<mtype:string,mid:bigint,role:string>>, "
             "tags map<string,string>"
     )
+    # pin the generator aggregations: closure/extract reference nodes and
+    # ways several times, and a real pipeline reads them from parquet
+    # (cheap re-scan) rather than re-running a groupBy per reference
+    nodes = nodes.localCheckpoint(eager=False)
+    ways = ways.localCheckpoint(eager=False)
     out = streets(EntityTables(nodes, ways, rels))
     return out.select(
         "id", "name",

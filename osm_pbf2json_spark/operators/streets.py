@@ -211,10 +211,14 @@ def _cluster_group(pdf: pd.DataFrame) -> pd.DataFrame:
     swy = np.minimum.reduceat(flat_y, starts)
     ney = np.maximum.reduceat(flat_y, starts)
     labels = _union_find_clusters(swx, swy, nex, ney)
+    # group by component via one argsort (a per-component filter scan
+    # would be O(components × segments) — quadratic on big name groups)
+    order = np.argsort(labels, kind="stable")
+    ls = labels[order]
+    bounds = np.flatnonzero(np.concatenate([[True], ls[1:] != ls[:-1], [True]]))
     rows = []
-    for lab in np.unique(labels):
-        members = [s for s, l in zip(segs, labels) if l == lab]
-        rows.append(_street_row_raw(name, members))
+    for b0, b1 in zip(bounds[:-1], bounds[1:]):
+        rows.append(_street_row_raw(name, [segs[i] for i in order[b0:b1]]))
     return pd.DataFrame(rows)
 
 
