@@ -177,6 +177,20 @@ def main():
 
     input_rows = bench_points(spark, sf_dir).count()
 
+    # iterative operators localCheckpoint intermediates; each bench
+    # invocation builds fresh ones, so without cleanup the BlockManager
+    # accumulates dead blocks across the run and later queries measure
+    # GC/eviction pressure instead of the engine (observed 3-4x
+    # inflation on late queries in a 19-query run)
+    keep_ids = {
+        r.id() for r in list(spark.sparkContext._jsc.getPersistentRDDs().values())
+    }
+
+    def clear_stale_blocks():
+        for r in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            if r.id() not in keep_ids:
+                r.unpersist()
+
     timings = {}
     for name in selected:
         fn = BENCH_QUERIES[name]
@@ -187,6 +201,7 @@ def main():
             df.count()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
+            clear_stale_blocks()
         timings[name] = round(best, 3)
 
     flagship_sec = timings.get("flagship_pip_tile")
