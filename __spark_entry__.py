@@ -954,6 +954,76 @@ def q_simhash_neardup(spark, sf_dir):
     )
 
 
+def q_streaming_tiles(spark, sf_dir):
+    """Structured Streaming end-to-end, driver-checked: events (with
+    deterministic point coords) stream from a parquet source with
+    availableNow through streaming_tile_counts (tumbling 1-minute
+    windows × hex res-9 tiles) into a memory sink; the returned table is
+    compared against a plain SQL mirror (date_trunc + the shared hex
+    chain). Complete output mode so tail windows inside the watermark
+    horizon are emitted — end-of-stream equals the batch answer."""
+    import tempfile
+    import uuid
+
+    from osm_pbf2json_spark.streaming.tiles_stream import streaming_tile_counts
+
+    ev = _t(spark, sf_dir, "events").select(
+        "ts",
+        ((F.col("event_id") % 100) * F.lit(0.1)).alias("lon"),
+        ((F.col("user_id") % 100) * F.lit(0.1)).alias("lat"),
+    )
+    src = tempfile.mkdtemp(prefix="stream_tiles_src_")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("ts timestamp, lon double, lat double").parquet(
+        src
+    )
+    counts = streaming_tile_counts(stream, res=9, window="1 minute")
+    name = "stream_tiles_" + uuid.uuid4().hex[:8]
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_tiles_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("window_start", "tile", "n_events")
+
+
+def q_streaming_sessionize(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState
+    gap-sessionization), driver-checked: events stream from a single
+    parquet file (one microbatch → deterministic in-batch ordering);
+    CLOSED sessions land in a memory sink and are mirrored by a plain
+    islands-and-gaps SQL over the same rows — minus each key's trailing
+    session, which stays open in state by design."""
+    import tempfile
+    import uuid
+
+    from osm_pbf2json_spark.streaming.sessionize import sessionize
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("key"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    src = tempfile.mkdtemp(prefix="stream_sess_src_")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("key string, ts_ms long").parquet(src)
+    name = "stream_sess_" + uuid.uuid4().hex[:8]
+    q = (
+        sessionize(stream, gap_ms=600_000)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_sess_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("key", "session_start", "session_end", "n_events")
+
+
 def q_hex_tiles(spark, sf_dir):
     """Hex (aperture-7) tile assignment at res 9 — engine grid."""
     pts = _points(spark, sf_dir)
@@ -1193,6 +1263,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash_neardup": q_simhash_neardup,
         "hex_tiles": q_hex_tiles,
+        "streaming_tiles": q_streaming_tiles,
+        "streaming_sessionize": q_streaming_sessionize,
         "flagship_rollup": q_flagship_rollup,
         "quad_tiles": q_quad_tiles,
         "tile_pyramid": q_tile_pyramid,
@@ -1338,6 +1410,58 @@ def _hex_tiles_sql(res: int = 9) -> str:
         WITH pts AS ({_POINTS_SQL}),
         {_hex_chain(res)}
         SELECT point_id, tile FROM hexed
+    """
+
+
+def _streaming_sessionize_sql(gap_ms: int = 600_000) -> str:
+    """Mirror of q_streaming_sessionize: classic islands-and-gaps (break
+    when ts - prev >= gap, cumulative-sum session ids), emitting every
+    session EXCEPT each key's last — the operator keeps the trailing
+    session open in state until later data proves the gap."""
+    return f"""
+        WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS key,
+                           epoch_ms(ts) AS ts_ms
+                    FROM events),
+        o AS (SELECT key, ts_ms,
+                     lag(ts_ms) OVER (PARTITION BY key ORDER BY ts_ms) AS prev
+              FROM ev),
+        m AS (SELECT key, ts_ms,
+                     CASE WHEN prev IS NULL OR ts_ms - prev >= {gap_ms}
+                          THEN 1 ELSE 0 END AS brk
+              FROM o),
+        s AS (SELECT key, ts_ms,
+                     sum(brk) OVER (PARTITION BY key ORDER BY ts_ms
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m),
+        agg AS (SELECT key, sid,
+                       min(ts_ms) AS session_start,
+                       max(ts_ms) AS session_end,
+                       count(*)::INT AS n_events
+                FROM s GROUP BY key, sid)
+        SELECT key, session_start, session_end, n_events
+        FROM (SELECT *, row_number() OVER (PARTITION BY key
+                                           ORDER BY sid DESC) AS rk
+              FROM agg) t
+        WHERE rk > 1
+    """
+
+
+def _streaming_tiles_sql(res: int = 9) -> str:
+    """Mirror of q_streaming_tiles: the streaming engine's end-of-stream
+    complete-mode answer must equal the plain batch aggregation —
+    tumbling 1-minute window = date_trunc('minute'), tile from the
+    shared hex chain (joined back by event id to recover ts)."""
+    return f"""
+        WITH ev AS (SELECT event_id, ts,
+                           (event_id % 100) * CAST(0.1 AS DOUBLE) AS lon,
+                           (user_id % 100) * CAST(0.1 AS DOUBLE) AS lat
+                    FROM events),
+        pts AS (SELECT event_id AS point_id, lon, lat FROM ev),
+        {_hex_chain(res)}
+        SELECT date_trunc('minute', e.ts) AS window_start, h.tile,
+               count(*) AS n_events
+        FROM hexed h JOIN ev e ON e.event_id = h.point_id
+        GROUP BY 1, 2
     """
 
 
@@ -2337,6 +2461,8 @@ def oracle_sql() -> dict[str, str]:
             FROM b
         """,
         "hex_tiles": _hex_tiles_sql(9),
+        "streaming_tiles": _streaming_tiles_sql(9),
+        "streaming_sessionize": _streaming_sessionize_sql(),
         "flagship_rollup": _flagship_rollup_sql(9),
         "quad_tiles": _quad_tiles_sql(12),
         "tile_pyramid": _tile_pyramid_sql((12, 10, 8)),
