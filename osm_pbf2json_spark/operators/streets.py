@@ -147,36 +147,6 @@ def _street_row(name: str, boundary, seg_rows: list[dict]) -> dict:
     }
 
 
-def _street_row_raw(name: str, seg_rows: list[dict]) -> dict:
-    """_street_row for the RAW segment layout (parallel lons/lats float
-    arrays instead of per-point structs): no per-point Python dict
-    construction — the public coords structs are reassembled JVM-side by
-    arrays_zip in extract_streets."""
-    seg_rows = sorted(seg_rows, key=lambda s: s["way_id"])
-    street_id = 0
-    for s in seg_rows:
-        street_id ^= int(s["way_id"])  # A3, streets.rs:38-45
-    length = float(sum(bbox_diag_length(s["xy"]) for s in seg_rows))
-    all_pts = np.vstack([s["xy"] for s in seg_rows])
-    mid = midpoint(all_pts)
-    return {
-        "id": street_id,
-        "name": name,
-        "boundary": None,
-        "length": length,
-        "loc_lon": mid[0],
-        "loc_lat": mid[1],
-        "segments": [
-            {
-                "way_id": int(s["way_id"]),
-                "lons": s["xy"][:, 0],
-                "lats": s["xy"][:, 1],
-            }
-            for s in seg_rows
-        ],
-    }
-
-
 def _cluster_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """Grouped-map kernel: one street name → one row per connected
     component (A2). Coordinates arrive as parallel double arrays
@@ -211,14 +181,59 @@ def _cluster_group(pdf: pd.DataFrame) -> pd.DataFrame:
     swy = np.minimum.reduceat(flat_y, starts)
     ney = np.maximum.reduceat(flat_y, starts)
     labels = _union_find_clusters(swx, swy, nex, ney)
-    # group by component via one argsort (a per-component filter scan
-    # would be O(components × segments) — quadratic on big name groups)
-    order = np.argsort(labels, kind="stable")
-    ls = labels[order]
-    bounds = np.flatnonzero(np.concatenate([[True], ls[1:] != ls[:-1], [True]]))
-    rows = []
-    for b0, b1 in zip(bounds[:-1], bounds[1:]):
-        rows.append(_street_row_raw(name, [segs[i] for i in order[b0:b1]]))
+    # Per-component aggregates (A3 xor id, A4 Σ bbox-diag length, A5
+    # mean-then-closest midpoint) computed in ONE pass of reduceat over
+    # the component-sorted flattened buffers — no per-component Python
+    # math. Segments sort (component, way_id) to reproduce the
+    # reference's member order (streets.rs:222-234 sorts by way id).
+    wids = np.array([s["way_id"] for s in segs], dtype=np.int64)
+    glex = np.lexsort((wids, labels))
+    ls = labels[glex]
+    cstart = np.flatnonzero(np.concatenate([[True], ls[1:] != ls[:-1]]))
+    ncomp = len(cstart)
+
+    diag = np.hypot(nex - swx, ney - swy)  # bbox_diag_length per segment
+    length = np.add.reduceat(diag[glex], cstart)
+    street_id = np.bitwise_xor.reduceat(wids[glex], cstart)
+
+    # flatten points in (component, way_id) segment order
+    plen = lens[glex]
+    pnew = np.concatenate([[0], np.cumsum(plen[:-1])])
+    within = np.arange(int(plen.sum())) - np.repeat(pnew, plen)
+    gather = np.repeat(starts[glex], plen) + within
+    px = flat_x[gather]
+    py = flat_y[gather]
+    cnpts = np.add.reduceat(plen, cstart)
+    cpstart = np.concatenate([[0], np.cumsum(cnpts[:-1])])
+    mx = np.add.reduceat(px, cpstart) / cnpts
+    my = np.add.reduceat(py, cpstart) / cnpts
+    d2 = (px - np.repeat(mx, cnpts)) ** 2 + (py - np.repeat(my, cnpts)) ** 2
+    # first minimal index per component (np.argmin first-match rule)
+    dmin = np.minimum.reduceat(d2, cpstart)
+    P = len(px)
+    cand = np.where(d2 == np.repeat(dmin, cnpts), np.arange(P), P)
+    first = np.minimum.reduceat(cand, cpstart)
+
+    cend = np.concatenate([cstart[1:], [len(glex)]])
+    rows = {
+        "id": street_id,
+        "name": [name] * ncomp,
+        "boundary": [None] * ncomp,
+        "length": length,
+        "loc_lon": px[first],
+        "loc_lat": py[first],
+        "segments": [
+            [
+                {
+                    "way_id": int(wids[i]),
+                    "lons": segs[i]["xy"][:, 0],
+                    "lats": segs[i]["xy"][:, 1],
+                }
+                for i in glex[b0:b1]
+            ]
+            for b0, b1 in zip(cstart, cend)
+        ],
+    }
     return pd.DataFrame(rows)
 
 
