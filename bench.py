@@ -103,6 +103,57 @@ def j6_scaled(spark, sf_dir):
     return spatial.bbox_self_join(boxes, pad=0.002, cell=0.25)
 
 
+def streets_split_cells(spark, sf_dir):
+    """Distributed street×boundary split (the de-amplified cell-join +
+    cogroup path): 2,000 square admin polygons × streets derived from
+    orders — measures the light pair join + per-owner-cell polygon
+    delivery, the path a planet-scale level-10 split takes."""
+    from osm_pbf2json_spark.operators.streets import (
+        STREET_SCHEMA,
+        split_streets_by_cells,
+    )
+
+    orders = E._t(spark, sf_dir, "orders")
+    n_b = 2000
+    bids = spark.range(n_b).select(F.col("id").alias("bid"))
+    x0 = (F.col("bid") % 50).cast("double")
+    y0 = F.floor(F.col("bid") / 50).cast("double")
+    ring = F.array(
+        F.struct(x0.alias("lon"), y0.alias("lat")),
+        F.struct((x0 + 0.95).alias("lon"), y0.alias("lat")),
+        F.struct((x0 + 0.95).alias("lon"), (y0 + 0.95).alias("lat")),
+        F.struct(x0.alias("lon"), (y0 + 0.95).alias("lat")),
+        F.struct(x0.alias("lon"), y0.alias("lat")),
+    )
+    bdf = bids.select(
+        F.col("bid").alias("relation_id"),
+        F.concat(F.lit("b"), F.lpad(F.col("bid").cast("string"), 4, "0")).alias("name"),
+        F.lit(8).alias("admin_level"),
+        x0.alias("sw_lon"), y0.alias("sw_lat"),
+        (x0 + 0.95).alias("ne_lon"), (y0 + 0.95).alias("ne_lat"),
+        F.array(F.array(ring)).alias("polygons"),
+    )
+    sx = (F.col("o_orderkey") % 500) * F.lit(0.1)
+    sy = (F.col("o_custkey") % 400) * F.lit(0.1)
+    sdf = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.concat(F.lit("st"), (F.col("o_orderkey") % 997).cast("string")).alias("name"),
+        F.lit(None).cast("string").alias("boundary"),
+        F.lit(0.36).alias("length"),
+        sx.alias("loc_lon"), sy.alias("loc_lat"),
+        F.array(
+            F.struct(
+                F.col("o_orderkey").alias("way_id"),
+                F.array(
+                    F.struct(sx.alias("lon"), sy.alias("lat")),
+                    F.struct((sx + 0.3).alias("lon"), (sy + 0.2).alias("lat")),
+                ).alias("coords"),
+            )
+        ).alias("segments"),
+    ).select(*[f.name for f in spark.createDataFrame([], STREET_SCHEMA).schema])
+    return split_streets_by_cells(sdf, bdf)
+
+
 BENCH_QUERIES = {
     "flagship_pip_tile": flagship,
     "j1_ordered_resolution": E.q_j1_ordered_resolution,
@@ -128,6 +179,7 @@ BENCH_QUERIES = {
     "objects_e2e": E.q_objects_e2e,
     "streets_e2e": E.q_streets_e2e,
     "boundaries_e2e": E.q_boundaries_e2e,
+    "streets_split_cells": streets_split_cells,
 }
 
 

@@ -436,7 +436,12 @@ def _split_streets_factory(boundary_rows: list[dict]):
     return split
 
 
-def split_streets_by_cells(streets_df: DataFrame, boundaries_df: DataFrame, cell: float = 0.5) -> DataFrame:
+def split_streets_by_cells(
+    streets_df: DataFrame,
+    boundaries_df: DataFrame,
+    cell: float = 0.5,
+    group_cell: float | None = None,
+) -> DataFrame:
     """Distributed boundary split for LARGE boundary sets (no driver
     collect, no broadcast of the polygon side).
 
@@ -460,8 +465,17 @@ def split_streets_by_cells(streets_df: DataFrame, boundaries_df: DataFrame, cell
 
     Streets with no candidates never shuffle their segments at all —
     they pass through (boundary NULL) via a plain union.
+
+    `cell` controls pair-join selectivity (smaller → fewer candidate
+    rows through the equi-join); `group_cell` (default 4×cell) controls
+    cogroup granularity — coarser groups amortize the per-group
+    applyInPandas invocation overhead AND ship each boundary to fewer
+    consumer groups. They are deliberately decoupled: join selectivity
+    and group size optimize in opposite directions.
     """
     from .spatial import _bbox_cells
+
+    gcell = group_cell if group_cell is not None else 4.0 * cell
 
     lons = F.flatten(
         F.transform("segments", lambda s: F.transform(s["coords"], lambda c: c["lon"]))
@@ -504,8 +518,8 @@ def split_streets_by_cells(streets_df: DataFrame, boundaries_df: DataFrame, cell
     joined = st.join(cand_ids, ["name", "id"], "left")
     no_cand = joined.filter(F.col("_cand_ids").isNull()).select(*_STREET_COLS)
     with_cand = joined.filter(F.col("_cand_ids").isNotNull()).withColumn(
-        "_ocx", F.floor(F.col("_sx0") / cell).cast("long")
-    ).withColumn("_ocy", F.floor(F.col("_sy0") / cell).cast("long"))
+        "_ocx", F.floor(F.col("_sx0") / gcell).cast("long")
+    ).withColumn("_ocy", F.floor(F.col("_sy0") / gcell).cast("long"))
 
     # phase 2: each boundary's geometry ships once per owner cell
     # (keys renamed _bcx/_bcy: bundles derive from with_cand, and reusing
