@@ -258,6 +258,32 @@ def main():
 
     flagship_sec = timings.get("flagship_pip_tile")
     value = round(input_rows / flagship_sec, 1) if flagship_sec else 0.0
+
+    # steady-state throughput: the same flagship job on an 8× replicated
+    # input, so fixed costs (job setup, python-worker spin-up) amortize —
+    # this is the rows/sec a long-running 100-TB job would see, reported
+    # ALONGSIDE the mult=1 number (kept for round-over-round continuity)
+    steady = None
+    if flagship_sec and MULT == 1:
+        srep = 8
+        pts8 = (
+            bench_points(spark, sf_dir)
+            .withColumn("_m", F.explode(F.sequence(F.lit(1), F.lit(srep))))
+            .drop("_m")
+        )
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            spatial.pip_tile_rollup(pts8, GRID_POLYGONS, res=9, grid="hex").count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        clear_stale_blocks()
+        steady = {
+            "rows": input_rows * srep,
+            "sec": round(best, 3),
+            "rows_per_sec": round(input_rows * srep / best, 1),
+        }
+
     prev = _prev_round_queries()
     out = {
         "metric": "spatial_join_tile_assign_rows_per_sec",
@@ -274,6 +300,8 @@ def main():
         # mislabeled by the global flagship mult
         "j6_scaled_mult": j6_mult(),
     }
+    if steady:
+        out["flagship_steady_state"] = steady
     if prev:
         out["prev_queries"] = prev
         out["speedup_vs_prev"] = {
