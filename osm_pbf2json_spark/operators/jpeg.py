@@ -224,12 +224,14 @@ def _decode_huff(br: _BitReader, table) -> int:
 # --- decoder ------------------------------------------------------------------
 
 
-def decode_jpeg(payload: bytes):
+def decode_jpeg(payload: bytes, max_pixels: int = 64_000_000):
     """Baseline JFIF bytes → (width, height, rgb uint8 (h, w, 3)).
 
     Grayscale images are replicated to 3 channels. Raises
     NotImplementedError for progressive/arithmetic/12-bit streams and
-    ValueError for malformed data.
+    ValueError for malformed data. `max_pixels` bounds allocation
+    against crafted headers (a 2-byte dimension field can declare a
+    65535² image — a 34 GB plane — from a 200-byte payload).
     """
     d = payload
     if d[:2] != b"\xff\xd8":
@@ -302,6 +304,10 @@ def decode_jpeg(payload: bytes):
         pos += seglen
     if comps is None or scan is None:
         raise ValueError("missing SOF/SOS")
+    if width * height > max_pixels or width == 0 or height == 0:
+        raise ValueError(f"unreasonable dimensions {width}x{height}")
+    if any(h < 1 or h > 2 or v < 1 or v > 2 for _, h, v, _ in comps):
+        raise NotImplementedError("sampling factors beyond 2x2")
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)

@@ -1168,3 +1168,41 @@ def test_simhash_fold_chunk_boundary(spark):
             dtype=np.uint64
         )
         assert int(word.astype(np.int64)) == base[r["doc_id"]], r["doc_id"]
+
+
+def test_jpeg_decoder_never_hangs_on_garbage():
+    """Truncations, bit-flips, and random JPEG-magic payloads either
+    decode or raise promptly — no hangs, no giant allocations (crafted
+    dimension fields are rejected by the max_pixels guard)."""
+    import time
+
+    import pytest
+
+    from osm_pbf2json_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.Generator(np.random.PCG64(33))
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    good = bytearray(encode_jpeg(img, quality=80))
+
+    t0 = time.time()
+    for cut in (2, 3, 10, 50, len(good) // 2, len(good) - 3):
+        try:
+            decode_jpeg(bytes(good[:cut]))  # truncations may still decode
+        except Exception:
+            pass  # ...or raise promptly — either is clean
+    for trial in range(30):
+        mut = bytearray(good)
+        for _ in range(int(rng.integers(1, 6))):
+            mut[int(rng.integers(2, len(mut)))] = int(rng.integers(0, 256))
+        try:
+            w, h, rgb = decode_jpeg(bytes(mut))
+            assert rgb.shape == (h, w, 3)
+        except Exception:
+            pass  # clean failure is acceptable
+    for trial in range(20):
+        junk = b"\xff\xd8\xff" + bytes(rng.integers(0, 256, size=200, dtype=np.uint8))
+        try:
+            decode_jpeg(junk)
+        except Exception:
+            pass
+    assert time.time() - t0 < 30  # bounded work on all adversarial inputs
