@@ -249,4 +249,7 @@ def test_knn_query_dataframe_and_scale(spark):
     out = knn_join(pts, big, k=3)
     cnt = out.count()
     assert cnt == 10_000 * 3
-    assert time.time() - t0 < 120  # no driver stall
+    # vectorized selection runs this in ~15s; generous cap so co-tenant
+    # load spikes can't flake the suite while still catching a per-query
+    # Python-loop regression (which took minutes)
+    assert time.time() - t0 < 300
