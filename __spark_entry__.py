@@ -1030,6 +1030,20 @@ def q_hex_tiles(spark, sf_dir):
     return spatial.point_tile(pts, res=9, grid="hex").select("point_id", "tile")
 
 
+def q_kring_pairs(spark, sf_dir):
+    """H3-style k-ring neighbor search (north star: "H3 k-ring kNN
+    search"): all point pairs whose res-5 hex cells are within 1 ring —
+    100% Catalyst (pure-Column cell encode, static offset explode, one
+    equi-join; no Python in the plan, gated in pytest). Mirrored by an
+    axial-distance range join over the shared hex chain."""
+    pts = (
+        _points(spark, sf_dir)
+        .filter(F.col("point_id") % 16 == 0)  # keep the pair set gate-sized
+        .select(F.col("point_id").alias("id"), "lon", "lat")
+    )
+    return spatial.hex_kring_join(pts, k=1, res=5)
+
+
 def q_flagship_rollup(spark, sf_dir):
     """THE flagship bench pipeline, oracle-checked: fused broadcast PIP
     (256 disjoint district polygons, first-match, None outside) + hex
@@ -1263,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash_neardup": q_simhash_neardup,
         "hex_tiles": q_hex_tiles,
+        "kring_pairs": q_kring_pairs,
         "streaming_tiles": q_streaming_tiles,
         "streaming_sessionize": q_streaming_sessionize,
         "flagship_rollup": q_flagship_rollup,
@@ -1443,6 +1458,24 @@ def _streaming_sessionize_sql(gap_ms: int = 600_000) -> str:
                                            ORDER BY sid DESC) AS rk
               FROM agg) t
         WHERE rk > 1
+    """
+
+
+def _kring_pairs_sql(k: int = 1, res: int = 5) -> str:
+    """Mirror of q_kring_pairs: k-ring membership == axial hex distance
+    ≤ k, computed from the shared hex chain's axial coords (`ax` CTE)
+    with a range join on qq for pruning."""
+    return f"""
+        WITH pts AS (SELECT * FROM ({_POINTS_SQL}) WHERE point_id % 16 = 0),
+        {_hex_chain(res)},
+        axial AS (SELECT point_id, CAST(qq AS BIGINT) AS q,
+                         CAST(rr AS BIGINT) AS r FROM ax)
+        SELECT DISTINCT a.point_id AS a, b.point_id AS b
+        FROM axial a JOIN axial b
+          ON b.q BETWEEN a.q - {k} AND a.q + {k}
+         AND a.point_id < b.point_id
+        WHERE abs(a.q - b.q) + abs(a.r - b.r)
+              + abs(a.q + a.r - b.q - b.r) <= {2 * k}
     """
 
 
@@ -2461,6 +2494,7 @@ def oracle_sql() -> dict[str, str]:
             FROM b
         """,
         "hex_tiles": _hex_tiles_sql(9),
+        "kring_pairs": _kring_pairs_sql(1, 5),
         "streaming_tiles": _streaming_tiles_sql(9),
         "streaming_sessionize": _streaming_sessionize_sql(),
         "flagship_rollup": _flagship_rollup_sql(9),

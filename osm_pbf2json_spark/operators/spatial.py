@@ -458,6 +458,91 @@ def tile_pyramid(
     )
 
 
+def hex_cell_col(lon: "F.Column", lat: "F.Column", res: int) -> "F.Column":
+    """Pure-Column hex cell id — bit-identical to functions.tiles.hex_cell
+    (same float constants, F.bround == np.round HALF_EVEN, the same cube
+    fix-up, and the same int64-wrapping (res,q,r) pack). Keeps the encode
+    inside whole-stage codegen: no Python worker, no Arrow hop."""
+    size = float(T.hex_size(res))
+    qf = (F.lit(float(T._SQRT3 / 3.0)) * lon - lat / F.lit(3.0)) / F.lit(size)
+    rf = (F.lit(2.0 / 3.0) * lat) / F.lit(size)
+    sf = -qf - rf
+    q = F.bround(qf)
+    r = F.bround(rf)
+    s = F.bround(sf)
+    dq = F.abs(q - qf)
+    dr = F.abs(r - rf)
+    ds = F.abs(s - sf)
+    fix_q = (dq > dr) & (dq > ds)
+    fix_r = (~fix_q) & (dr > ds)
+    qq = F.when(fix_q, -r - s).otherwise(q).cast("long")
+    rr = F.when(fix_r, -q - s).otherwise(r).cast("long")
+    off = F.lit(1 << 29).cast("long")
+    return (
+        F.shiftleft(F.lit(res).cast("long"), 60)
+        .bitwiseOR(F.shiftleft(qq + off, 30))
+        .bitwiseOR(rr + off)
+    )
+
+
+def _hex_pack(res: int, qc: "F.Column", rc: "F.Column") -> "F.Column":
+    off = F.lit(1 << 29).cast("long")
+    return (
+        F.shiftleft(F.lit(res).cast("long"), 60)
+        .bitwiseOR(F.shiftleft(qc + off, 30))
+        .bitwiseOR(rc + off)
+    )
+
+
+def hex_kring_join(
+    points: DataFrame,
+    k: int = 1,
+    res: int = 9,
+    id_col: str = "id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """All pairs (a < b) of points whose hex cells are within hex-grid
+    distance `k` — the H3-style k-ring neighbor search, 100% Catalyst.
+
+    Plan shape: cell encode (hex_cell_col, codegen), a STATIC
+    ring-offset explode (the 3k²+3k+1 (dq,dr) offsets of a k-ring are a
+    compile-time constant array — each probe row is repacked cell
+    arithmetic, not a UDF), then one equi-join on the cell id. Shuffle
+    carries (id, cell) pairs only; per point the fan-out is the ring
+    size, independent of data density, so the plan survives a 100×
+    scale-up as long as cells stay reasonably occupied (pick `res` so a
+    cell holds O(1)–O(100) points, exactly like the histogram guidance
+    on knn_join)."""
+    mask = F.lit((1 << 30) - 1).cast("long")
+    off = F.lit(1 << 29).cast("long")
+    pts = points.select(
+        F.col(id_col).alias("id"),
+        hex_cell_col(F.col(lon_col), F.col(lat_col), res).alias("cell"),
+    )
+    q = F.shiftright(F.col("cell"), 30).bitwiseAND(mask) - off
+    r = F.col("cell").bitwiseAND(mask) - off
+    offsets = [
+        (dq, dr)
+        for dq in range(-k, k + 1)
+        for dr in range(max(-k, -dq - k), min(k, -dq + k) + 1)
+    ]
+    probes = pts.select(
+        F.col("id").alias("a"),
+        F.explode(
+            F.array(
+                *[_hex_pack(res, q + F.lit(dq), r + F.lit(dr)) for dq, dr in offsets]
+            )
+        ).alias("cell"),
+    )
+    return (
+        probes.join(pts.select(F.col("id").alias("b"), "cell"), "cell")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
 def point_tile(points: DataFrame, res: int, lon_col="lon", lat_col="lat", grid="hex"):
     """Column helper: tile id of each point (one pandas_udf call per batch)."""
     if grid == "hex":

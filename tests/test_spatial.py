@@ -253,3 +253,51 @@ def test_knn_query_dataframe_and_scale(spark):
     # load spikes can't flake the suite while still catching a per-query
     # Python-loop regression (which took minutes)
     assert time.time() - t0 < 300
+
+
+def test_hex_cell_col_bit_parity_and_kring_join(spark):
+    """hex_cell_col (pure-Column encode) is bit-identical to the NumPy
+    hex_cell kernel; hex_kring_join reproduces exact axial-distance
+    neighborhoods with a Python-free plan."""
+    import numpy as np
+
+    from osm_pbf2json_spark.functions import tiles as T
+    from osm_pbf2json_spark.operators.spatial import hex_cell_col, hex_kring_join
+
+    rng = np.random.default_rng(5)
+    pts = [
+        (i, float(x), float(y))
+        for i, (x, y) in enumerate(rng.uniform(-60, 60, size=(3000, 2)))
+    ]
+    df = spark.createDataFrame(pts, "id long, lon double, lat double")
+    got = np.array(
+        [
+            r["c"]
+            for r in df.select(
+                hex_cell_col(F.col("lon"), F.col("lat"), 9).alias("c")
+            ).collect()
+        ]
+    )
+    want = T.hex_cell(
+        np.array([p[1] for p in pts]), np.array([p[2] for p in pts]), 9
+    )
+    assert (got == want).all()
+
+    sub = spark.createDataFrame(pts[:500], "id long, lon double, lat double")
+    pairs = {(r["a"], r["b"]) for r in hex_kring_join(sub, k=2, res=3).collect()}
+    cells = T.hex_cell(
+        np.array([p[1] for p in pts[:500]]), np.array([p[2] for p in pts[:500]]), 3
+    )
+    _, q, r = T.hex_unpack(cells)
+    want_pairs = set()
+    for i in range(500):
+        dq = q - q[i]
+        dr = r - r[i]
+        d = (np.abs(dq) + np.abs(dr) + np.abs(dq + dr)) // 2
+        for j in np.flatnonzero(d <= 2):
+            if i < j:
+                want_pairs.add((i, int(j)))
+    assert pairs == want_pairs and len(pairs) > 0
+
+    plan = hex_kring_join(sub, k=2, res=3)._jdf.queryExecution().executedPlan().toString()
+    assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan
