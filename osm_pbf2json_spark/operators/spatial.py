@@ -544,11 +544,15 @@ def hex_kring_join(
 
 
 def point_tile(points: DataFrame, res: int, lon_col="lon", lat_col="lat", grid="hex"):
-    """Column helper: tile id of each point (one pandas_udf call per batch)."""
+    """Column helper: tile id of each point. Hex cells are PURE Catalyst
+    (hex_cell_col, bit-identical to the NumPy kernel — no Python worker
+    in the plan); quad/Hilbert stays an Arrow kernel (the bit-interleave
+    loop doesn't reduce to a small Column expression)."""
     if grid == "hex":
-        fn = lambda lon, lat: pd.Series(T.hex_cell(lon.to_numpy(), lat.to_numpy(), res))  # noqa: E731
-    else:
-        fn = lambda lon, lat: pd.Series(T.quad_cell(lon.to_numpy(), lat.to_numpy(), res))  # noqa: E731
+        return points.withColumn(
+            "tile", hex_cell_col(F.col(lon_col), F.col(lat_col), res)
+        )
+    fn = lambda lon, lat: pd.Series(T.quad_cell(lon.to_numpy(), lat.to_numpy(), res))  # noqa: E731
     udf = F.pandas_udf(fn, "long")
     return points.withColumn("tile", udf(F.col(lon_col), F.col(lat_col)))
 

@@ -14,19 +14,16 @@ Both operate on any streaming DataFrame with (ts timestamp, lon, lat).
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
-from ..functions import tiles as T
-
 
 def with_tile(stream_df: DataFrame, res: int = 9) -> DataFrame:
-    tile_udf = F.pandas_udf(
-        lambda lon, lat: pd.Series(T.hex_cell(lon.to_numpy(), lat.to_numpy(), res)),
-        "long",
-    )
-    return stream_df.withColumn("tile", tile_udf("lon", "lat"))
+    from ..operators.spatial import hex_cell_col
+
+    # pure Catalyst (bit-identical to the NumPy kernel): streaming
+    # micro-batches never pay a Python-worker round trip for the encode
+    return stream_df.withColumn("tile", hex_cell_col(F.col("lon"), F.col("lat"), res))
 
 
 def streaming_tile_counts(
