@@ -756,6 +756,34 @@ def q_hash_split(spark, sf_dir):
     return hash_split(docs, (0.9, 0.05, 0.05), method="md5").select("doc_id", "split")
 
 
+def q_pipeline_e2e(spark, sf_dir):
+    """The COMPOSED training-data pipeline as one DataFrame program —
+    language gate (en) → quality gate (round6 ≥ 0.45, rounded on both
+    sides so the filter boundary is engine-independent) → exact dedup
+    (min-id survivor per normalized text) → deterministic md5
+    train/val/test split. Each stage is oracle-checked on its own
+    elsewhere; this query checks their composition end-to-end."""
+    from osm_pbf2json_spark.functions.text import normalize, quality_score
+    from osm_pbf2json_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = docs.filter(lang_id(F.col("text")) == F.lit("en")).filter(
+        F.round(quality_score(F.col("text")), 6) >= 0.45
+    )
+    surv = (
+        kept.withColumn("_n", normalize(F.col("text")))
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("_n").orderBy("doc_id")),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_n", "_rn")
+    )
+    return hash_split(surv, (0.9, 0.05, 0.05), method="md5").select(
+        "doc_id", "split"
+    )
+
+
 def q_streets_e2e(spark, sf_dir):
     """streets() end-to-end (F5→S2→J1→A1-A5) at generator scale: ways from
     orders (refs = their lineitem point nodes, names shared across 50
@@ -1299,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "objects_e2e": q_objects_e2e,
         "objects_poly": q_objects_poly,
         "hash_split": q_hash_split,
+        "pipeline_e2e": q_pipeline_e2e,
     }
 
 
@@ -2082,7 +2111,9 @@ def _opq_assign_sql(k: int = 5) -> str:
     """
 
 
-def _hash_split_sql(fractions=(0.9, 0.05, 0.05), seed: int = 42) -> str:
+def _hash_split_sql(
+    fractions=(0.9, 0.05, 0.05), seed: int = 42, from_clause: str = "documents"
+) -> str:
     """Mirror of sampling.hash_split(method='md5'): identical md5 hex
     prefix compared against identical thresholds (generated by the same
     Python expression, so float quirks in `sum(fractions[:i+1])` cancel
@@ -2095,7 +2126,25 @@ def _hash_split_sql(fractions=(0.9, 0.05, 0.05), seed: int = 42) -> str:
             expr = str(i)
         else:
             expr = f"CASE WHEN {h} < '{format(thr_int, '08x')}' THEN {i} ELSE {expr} END"
-    return f"SELECT doc_id, CAST({expr} AS INT) AS split FROM documents"
+    return f"SELECT doc_id, CAST({expr} AS INT) AS split FROM {from_clause}"
+
+
+def _pipeline_e2e_sql() -> str:
+    """Mirror of q_pipeline_e2e: the lang-id, quality, normalization and
+    md5-split mirrors COMPOSED the same way the Spark pipeline composes
+    the operators."""
+    return f"""
+        WITH lang AS ({_stopword_sql_case()}),
+        qual AS ({_quality_sql()}),
+        kept AS (
+          SELECT d.doc_id, d.text
+          FROM documents d
+          JOIN lang ON lang.doc_id = d.doc_id AND lang.lang_pred = 'en'
+          JOIN qual ON qual.doc_id = d.doc_id AND qual.q >= 0.45
+        ),
+        surv AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY {_NORM_SQL})
+        {_hash_split_sql((0.9, 0.05, 0.05), from_clause="surv")}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2495,6 +2544,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hex_tiles": _hex_tiles_sql(9),
         "kring_pairs": _kring_pairs_sql(1, 5),
+        "pipeline_e2e": _pipeline_e2e_sql(),
         "streaming_tiles": _streaming_tiles_sql(9),
         "streaming_sessionize": _streaming_sessionize_sql(),
         "flagship_rollup": _flagship_rollup_sql(9),
