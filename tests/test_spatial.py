@@ -301,3 +301,36 @@ def test_hex_cell_col_bit_parity_and_kring_join(spark):
 
     plan = hex_kring_join(sub, k=2, res=3)._jdf.queryExecution().executedPlan().toString()
     assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quad_tile_cols_bit_parity(spark):
+    """The unrolled-Hilbert projection chain is bit-identical to the
+    NumPy quad_cell kernel at every level, including world-edge points,
+    with a Python-free linear plan."""
+    import numpy as np
+
+    from osm_pbf2json_spark.functions import tiles as T
+    from osm_pbf2json_spark.operators.spatial import point_tile
+
+    rng = np.random.default_rng(3)
+    pts = [
+        (i, float(x), float(y))
+        for i, (x, y) in enumerate(
+            rng.uniform([-180, -90], [180, 90], size=(2000, 2))
+        )
+    ]
+    pts += [
+        (9990, -180.0, -90.0),
+        (9991, 180.0, 90.0),
+        (9992, 0.0, 0.0),
+        (9993, 179.999999, 89.999999),
+    ]
+    df = spark.createDataFrame(pts, "id long, lon double, lat double")
+    for lvl in (0, 5, 12, 20):
+        got = {r["id"]: r["tile"] for r in point_tile(df, res=lvl, grid="quad").collect()}
+        want = T.quad_cell(
+            np.array([p[1] for p in pts]), np.array([p[2] for p in pts]), lvl
+        )
+        assert all(got[p[0]] == int(w) for p, w in zip(pts, want)), lvl
+    plan = point_tile(df, res=12, grid="quad")._jdf.queryExecution().executedPlan().toString()
+    assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan
