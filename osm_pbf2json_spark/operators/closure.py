@@ -45,24 +45,31 @@ def closure(tables: EntityTables, pred: Column, max_rounds: int = 16) -> EntityT
     nodes, ways, relations = tables.nodes, tables.ways, tables.relations
 
     matched_rel_ids = relations.filter(pred).select("id")
-    # --- relation fixpoint: pull in member relations until stable --------
-    rel_ids = _pin(matched_rel_ids.distinct())
-    frontier = rel_ids
-    for _ in range(max_rounds):
-        member_rels = (
-            relations.join(frontier, "id", "left_semi")
-            .select(F.explode("members").alias("m"))
-            .filter(F.col("m.mtype") == "relation")
-            .select(F.col("m.mid").alias("id"))
-            .distinct()
-        )
-        new_ids = _pin(member_rels.join(rel_ids, "id", "left_anti"))
-        if new_ids.isEmpty():
-            break
-        rel_ids = _pin(rel_ids.unionByName(new_ids).distinct())
-        frontier = new_ids
+    if matched_rel_ids.isEmpty():
+        # fast path: no relation matches the predicate (e.g. streets /
+        # objects over way-only data) — the relation closure is empty, so
+        # skip the fixpoint's checkpoint jobs entirely. isEmpty() is a
+        # first-row probe, cheap at any scale.
+        closure_rels = relations.join(matched_rel_ids, "id", "left_semi")
+    else:
+        # --- relation fixpoint: pull in member relations until stable ----
+        rel_ids = _pin(matched_rel_ids.distinct())
+        frontier = rel_ids
+        for _ in range(max_rounds):
+            member_rels = (
+                relations.join(frontier, "id", "left_semi")
+                .select(F.explode("members").alias("m"))
+                .filter(F.col("m.mtype") == "relation")
+                .select(F.col("m.mid").alias("id"))
+                .distinct()
+            )
+            new_ids = _pin(member_rels.join(rel_ids, "id", "left_anti"))
+            if new_ids.isEmpty():
+                break
+            rel_ids = _pin(rel_ids.unionByName(new_ids).distinct())
+            frontier = new_ids
 
-    closure_rels = _pin(relations.join(rel_ids, "id", "left_semi"))
+        closure_rels = _pin(relations.join(rel_ids, "id", "left_semi"))
 
     # --- ways: matched directly or members of closure relations ----------
     rel_way_ids = (
