@@ -107,10 +107,23 @@ def hex_ring(cell: int, k: int) -> np.ndarray:
     )
 
 
-def hex_covering_bbox(lon_min, lat_min, lon_max, lat_max, res: int) -> np.ndarray:
+def hex_covering_bbox(
+    lon_min, lat_min, lon_max, lat_max, res: int, max_cells: int = 2_000_000
+) -> np.ndarray:
     """Hex cells covering a bbox (superset cover via center-grid sweep +
-    one-ring dilation)."""
+    one-ring dilation). Raises before allocating when the sweep would
+    exceed `max_cells` — a corrupt world-spanning geometry must fail
+    loudly with its bbox, not OOM an executor task."""
     size = float(hex_size(res))
+    n_est = ((lat_max - lat_min) / (1.5 * size) + 4) * (
+        (lon_max - lon_min) / (_SQRT3 * size / 2.0) + 4
+    )
+    if n_est > max_cells:
+        raise ValueError(
+            f"hex covering of bbox ({lon_min},{lat_min})-({lon_max},{lat_max}) "
+            f"at res {res} needs ~{int(n_est)} cells (> {max_cells}); "
+            "coarsen res or fix the geometry"
+        )
     lats = np.arange(lat_min - 2 * size, lat_max + 2 * size, 1.5 * size)
     lons = np.arange(lon_min - 2 * size, lon_max + 2 * size, _SQRT3 * size / 2.0)
     gx, gy = np.meshgrid(lons, lats)
@@ -183,6 +196,7 @@ def quad_covering_bbox(
     (adaptive covering in the S2 spirit). Cell ids embed their level, so
     an adapted covering does NOT equi-join with fixed-level cells — pass
     max_cells=None for an exact-level covering (cell equi-join plans)."""
+    exact_level = max_cells is None
     if max_cells is None:
         max_cells = 1 << 62
     while level > 0:
@@ -194,6 +208,14 @@ def quad_covering_bbox(
         j0 = max(0, int((lat_min - _WORLD[1]) / sy))
         j1 = min(n - 1, int((lat_max - _WORLD[1]) / sy))
         count = (i1 - i0 + 1) * (j1 - j0 + 1)
+        if exact_level and count > 2_000_000:
+            # exact-level contract can't coarsen: fail loudly with the
+            # bbox instead of OOMing the executor on a corrupt geometry
+            raise ValueError(
+                f"exact-level quad covering of bbox ({lon_min},{lat_min})-"
+                f"({lon_max},{lat_max}) at level {level} needs {count} "
+                "cells; coarsen the level or fix the geometry"
+            )
         if count <= max_cells:
             ii, jj = np.meshgrid(np.arange(i0, i1 + 1), np.arange(j0, j1 + 1))
             d = _hilbert_d(level, ii.ravel(), jj.ravel())

@@ -334,3 +334,21 @@ def test_quad_tile_cols_bit_parity(spark):
         assert all(got[p[0]] == int(w) for p, w in zip(pts, want)), lvl
     plan = point_tile(df, res=12, grid="quad")._jdf.queryExecution().executedPlan().toString()
     assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_covering_guards_reject_degenerate_bboxes():
+    """A corrupt world-spanning geometry fails loudly at covering time
+    (with the offending bbox in the message) instead of OOMing a task."""
+    import pytest
+
+    from osm_pbf2json_spark.functions import tiles as T
+
+    with pytest.raises(ValueError, match="coarsen"):
+        T.hex_covering_bbox(-180, -90, 180, 90, res=9)
+    with pytest.raises(ValueError, match="coarsen"):
+        T.quad_covering_bbox(-180, -90, 180, 90, level=15, max_cells=None)
+    # sane bboxes still work on both paths
+    assert len(T.hex_covering_bbox(13.0, 52.0, 13.2, 52.1, res=7)) > 0
+    assert len(T.quad_covering_bbox(13.0, 52.0, 13.2, 52.1, 9, max_cells=None)) > 0
+    # adaptive covering coarsens instead of raising
+    assert len(T.quad_covering_bbox(-180, -90, 180, 90, 15, max_cells=256)) <= 256
