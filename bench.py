@@ -302,6 +302,10 @@ def main():
     }
     if steady:
         out["flagship_steady_state"] = steady
+    # this box shows co-tenant load spikes (load-avg 4-11 with no local
+    # process); record the ambient load so cross-round timing comparisons
+    # can be read against the conditions they ran under
+    out["loadavg"] = [round(x, 2) for x in os.getloadavg()]
     if prev:
         out["prev_queries"] = prev
         out["speedup_vs_prev"] = {
