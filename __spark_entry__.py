@@ -1181,21 +1181,25 @@ def _opq_fixed(dim: int = 64, seed: int = 29):
 
 
 def q_opq_assign(spark, sf_dir):
-    """OPQ-rotated PQ encode + ADC top-k against a FIXED rotation and
+    """OPQ-rotated PQ encode + ADC scoring against a FIXED rotation and
     codebooks, with a single zero centroid so IVF is a pass-through
-    (every row probed): the SQL mirror folds the rotation into
+    (every row probed). The SQL mirror folds the rotation into
     back-rotated code vectors u[s,c] = R_sub[s] @ cb[s,c], so
     dot(rot(v)_s, cb[s,c]) = dot(v, u[s,c]) needs no matrix algebra in
-    DuckDB."""
+    DuckDB. Output is the per-neighbor ADC cosine ROUNDED to 6dp over a
+    50-vector corpus slice, order-insensitive — the two engines compute
+    the same value through different fp sequences (rotated-query LUT vs
+    back-rotated codes), so rank ordering of near-tied scores is not a
+    portable quantity, but the scores themselves are."""
     import numpy as np
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     R, C = _opq_fixed()
     out = ann.cosine_topk_ivfpq(
         emb,
         [(0, [float(x) for x in qv])],
-        k=5,
+        k=50,
         n_probe=1,
         residual=False,
         opq=True,
@@ -1203,7 +1207,7 @@ def q_opq_assign(spark, sf_dir):
         codebooks=C,
         rotation=R,
     )
-    return out.select("neighbor_id", "rank")
+    return out.select("neighbor_id", F.round("cosine", 6).alias("adc_cos"))
 
 
 def q_ann_ivfpq(spark, sf_dir):
@@ -2064,15 +2068,14 @@ def _pq_assign_sql(k: int = 5) -> str:
     """
 
 
-def _opq_assign_sql(k: int = 5) -> str:
+def _opq_assign_sql() -> str:
     """Mirror of q_opq_assign. Rotation folded into literals: with
     rotated vectors v·R, the per-subspace dot (v·R)_s · cb[s,c] equals
     v · (R_s · cb[s,c]) =: v · u[s,c], so the mirror is the pq_assign
     mirror with full-length back-rotated code vectors and |c|² (the
     UNrotated code norm, exactly the arithmetic the Spark kernel uses
-    for both argmin and the ADC denominator)."""
-    import numpy as np
-
+    for both argmin and the ADC denominator). Scores rounded to 6dp,
+    no ranking — see q_opq_assign."""
     R, C = _opq_fixed()
     m, kc, sub = C.shape
     vals = []
@@ -2086,7 +2089,7 @@ def _opq_assign_sql(k: int = 5) -> str:
     cb_values = ",".join(vals)
     return f"""
         WITH b AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS v
-                   FROM embeddings),
+                   FROM embeddings WHERE vec_id < 50),
         cb(s, c, vec, n2) AS (VALUES {cb_values}),
         q AS (SELECT v AS qv, sqrt(list_inner_product(v, v)) AS qn
               FROM b WHERE nid = 0),
@@ -2105,9 +2108,8 @@ def _opq_assign_sql(k: int = 5) -> str:
                FROM sel JOIN qd ON qd.s = sel.s AND qd.c = sel.c
                GROUP BY sel.nid)
         SELECT nid AS neighbor_id,
-               row_number() OVER (
-                 ORDER BY num / (q.qn * sqrt(vn2) + 1e-12) DESC, nid) AS rank
-        FROM sc CROSS JOIN q QUALIFY rank <= {k}
+               round(num / (q.qn * sqrt(vn2) + 1e-12), 6) AS adc_cos
+        FROM sc CROSS JOIN q
     """
 
 
@@ -2661,7 +2663,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ann_lsh_sql(5, 6, 64),
         "ivf_assign": _ivf_assign_sql(5, 3),
         "pq_assign": _pq_assign_sql(5),
-        "opq_assign": _opq_assign_sql(5),
+        "opq_assign": _opq_assign_sql(),
         "url_canonical": _url_sql(),
         "url_dedup": _url_sql(path_mod=1000, dedup=True),
     }
