@@ -1154,19 +1154,21 @@ def _pq_fixed_codebooks(m: int = 8, k_codes: int = 16, sub: int = 8, seed: int =
 
 
 def q_pq_assign(spark, sf_dir):
-    """PQ encode + ADC top-k against FIXED codebooks: per-subspace
-    argmin-L2 code assignment and the asymmetric-distance cosine scan,
-    both mirrored exactly in SQL (first-index argmin = row_number tie
-    rule)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    """PQ encode + ADC scoring against FIXED codebooks: per-subspace
+    argmin-L2 code assignment mirrored exactly in SQL (first-index
+    argmin = row_number tie rule), then the ADC cosine per neighbor over
+    a 50-vector slice, ROUNDED to 6dp and order-insensitive — the two
+    engines sum the per-subspace partials in different float orders, so
+    near-tied score RANKINGS are not portable, but the scores are."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     out = ann.cosine_topk_pq(
         emb,
         [(0, [float(x) for x in qv])],
-        k=5,
+        k=50,
         codebooks=_pq_fixed_codebooks(),
     )
-    return out.select("neighbor_id", "rank")
+    return out.select("neighbor_id", F.round("cosine_hat", 6).alias("adc_cos"))
 
 
 def _opq_fixed(dim: int = 64, seed: int = 29):
@@ -2022,7 +2024,7 @@ def _ivf_assign_sql(k: int = 5, n_probe: int = 3) -> str:
     """
 
 
-def _pq_assign_sql(k: int = 5) -> str:
+def _pq_assign_sql() -> str:
     """Mirror of q_pq_assign: per-(vector, subspace) code = argmin L2 to
     the fixed codebooks — ranked by (|c|² − 2·v_sub·c), the argmin
     -equivalent form, with the np.argmin first-index tie rule as
@@ -2039,7 +2041,7 @@ def _pq_assign_sql(k: int = 5) -> str:
     cb_values = ",".join(vals)
     return f"""
         WITH b AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS v
-                   FROM embeddings),
+                   FROM embeddings WHERE vec_id < 50),
         cb(s, c, vec, n2) AS (VALUES {cb_values}),
         q AS (SELECT v AS qv, sqrt(list_inner_product(v, v)) AS qn
               FROM b WHERE nid = 0),
@@ -2062,9 +2064,8 @@ def _pq_assign_sql(k: int = 5) -> str:
                FROM sel JOIN qd ON qd.s = sel.s AND qd.c = sel.c
                GROUP BY sel.nid)
         SELECT nid AS neighbor_id,
-               row_number() OVER (
-                 ORDER BY num / (q.qn * sqrt(vn2) + 1e-12) DESC, nid) AS rank
-        FROM sc CROSS JOIN q QUALIFY rank <= {k}
+               round(num / (q.qn * sqrt(vn2) + 1e-12), 6) AS adc_cos
+        FROM sc CROSS JOIN q
     """
 
 
@@ -2662,7 +2663,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _embedding_neardup_sql(0.45, 4, 64),
         "ann_lsh": _ann_lsh_sql(5, 6, 64),
         "ivf_assign": _ivf_assign_sql(5, 3),
-        "pq_assign": _pq_assign_sql(5),
+        "pq_assign": _pq_assign_sql(),
         "opq_assign": _opq_assign_sql(),
         "url_canonical": _url_sql(),
         "url_dedup": _url_sql(path_mod=1000, dedup=True),
