@@ -261,6 +261,12 @@ def q_a7_line_centroid(spark, sf_dir):
         )
         c = line_centroid(xy)
         return pd.DataFrame(
+            # 6dp is clean at the sf0.01 gate scale (and sf0.001). The
+            # synthetic grid is dyadic, so at 10x scale a weighted mean
+            # can land EXACTLY on a rounding half-boundary where the two
+            # engines' float sequences round apart (sf0.1 has one such
+            # row, grp 129470 = 4.3828125; 5dp has two) — an artifact of
+            # hashing rounded floats, not an engine defect.
             [{"grp": pdf["grp"].iloc[0], "cx": round(c[0], 6), "cy": round(c[1], 6)}]
         )
 
