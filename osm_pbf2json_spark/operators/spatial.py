@@ -554,7 +554,15 @@ def quad_tile_cols(
     times by the next, and CollapseProject keeps multiply-referenced
     non-cheap expressions materialized (SPARK-36718), so the plan stays
     LINEAR in `level` instead of the 2^level blow-up a single nested
-    Column expression would suffer."""
+    Column expression would suffer.
+
+    Measured tradeoff (sf0.1, local[32]): standalone encode is on par
+    with the Arrow kernel, but FUSED into a larger stage (explode+agg
+    pyramids) the long codegen chain drops off the JIT fast path and
+    runs ~2.6× slower — so point_tile defaults to the Arrow kernel for
+    quad and this stays the option for Python-worker-free plans
+    (streaming without worker spin-up, environments without Python on
+    executors)."""
     n = 1 << level
     zero = F.lit(0).cast("long")
     fx = (F.col(lon_col) - F.lit(-180.0)) / F.lit(360.0)
@@ -601,14 +609,18 @@ def quad_tile_cols(
 
 
 def point_tile(points: DataFrame, res: int, lon_col="lon", lat_col="lat", grid="hex"):
-    """Column helper: tile id of each point — PURE Catalyst for both
-    grids (hex via hex_cell_col, quad via the unrolled Hilbert
-    projection chain); no Python worker in either plan."""
+    """Column helper: tile id of each point. Hex is PURE Catalyst
+    (hex_cell_col — small expression, stays on the codegen fast path);
+    quad uses the Arrow batch kernel, which measures ~2.6× faster than
+    the unrolled Hilbert projection chain when fused into larger stages
+    (see quad_tile_cols for the Python-worker-free alternative)."""
     if grid == "hex":
         return points.withColumn(
             "tile", hex_cell_col(F.col(lon_col), F.col(lat_col), res)
         )
-    return quad_tile_cols(points, res, lon_col, lat_col, out="tile")
+    fn = lambda lon, lat: pd.Series(T.quad_cell(lon.to_numpy(), lat.to_numpy(), res))  # noqa: E731
+    udf = F.pandas_udf(fn, "long")
+    return points.withColumn("tile", udf(F.col(lon_col), F.col(lat_col)))
 
 
 # --- kNN ----------------------------------------------------------------------

@@ -325,14 +325,16 @@ def test_quad_tile_cols_bit_parity(spark):
         (9992, 0.0, 0.0),
         (9993, 179.999999, 89.999999),
     ]
+    from osm_pbf2json_spark.operators.spatial import quad_tile_cols
+
     df = spark.createDataFrame(pts, "id long, lon double, lat double")
     for lvl in (0, 5, 12, 20):
-        got = {r["id"]: r["tile"] for r in point_tile(df, res=lvl, grid="quad").collect()}
+        got = {r["id"]: r["tile"] for r in quad_tile_cols(df, lvl).collect()}
         want = T.quad_cell(
             np.array([p[1] for p in pts]), np.array([p[2] for p in pts]), lvl
         )
         assert all(got[p[0]] == int(w) for p, w in zip(pts, want)), lvl
-    plan = point_tile(df, res=12, grid="quad")._jdf.queryExecution().executedPlan().toString()
+    plan = quad_tile_cols(df, 12)._jdf.queryExecution().executedPlan().toString()
     assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan
 
 
