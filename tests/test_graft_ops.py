@@ -1209,3 +1209,63 @@ def test_jpeg_decoder_never_hangs_on_garbage():
         except Exception:
             pass
     assert time.time() - t0 < 30  # bounded work on all adversarial inputs
+
+
+def test_jpeg_restart_markers_and_dc_reset():
+    """Hand-built two-MCU grayscale stream with DRI=1: an RST0 marker
+    separates the MCUs and resets the DC predictor, so the second block's
+    DC diff is absolute. Solid values decode exactly."""
+    import struct
+
+    from osm_pbf2json_spark.operators.jpeg import (
+        _AC_LUMA_SPEC,
+        _BitWriter,
+        _DC_LUMA_SPEC,
+        _huff_codes,
+        decode_jpeg,
+    )
+
+    dc = _huff_codes(_DC_LUMA_SPEC)
+    ac = _huff_codes(_AC_LUMA_SPEC)
+
+    def block_bits(bw, dc_diff):
+        from osm_pbf2json_spark.operators.jpeg import _category
+
+        t = _category(dc_diff)
+        code, ln = dc[t]
+        bw.write(code, ln)
+        if t:
+            bw.write(dc_diff if dc_diff >= 0 else dc_diff + (1 << t) - 1, t)
+        code, ln = ac[0x00]
+        bw.write(code, ln)
+
+    # MCU 1: value 140 → DC = 8*(140-128) = 96 (diff from pred 0)
+    bw1 = _BitWriter()
+    block_bits(bw1, 96)
+    bw1.flush()
+    # MCU 2 (after restart, pred reset): value 120 → DC = 8*(120-128) = -64
+    bw2 = _BitWriter()
+    block_bits(bw2, -64)
+    bw2.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def dht(tc, th, spec):
+        bits, vals = spec
+        return bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+
+    data = bytearray(b"\xff\xd8")
+    data += seg(0xDB, bytes([0]) + bytes([1] * 64))
+    data += seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 16) + bytes([1, 1, 0x11, 0]))
+    data += seg(0xC4, dht(0, 0, _DC_LUMA_SPEC))
+    data += seg(0xC4, dht(1, 0, _AC_LUMA_SPEC))
+    data += seg(0xDD, struct.pack(">H", 1))  # DRI = 1 MCU
+    data += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    data += bytes(bw1.out) + b"\xff\xd0" + bytes(bw2.out)
+    data += b"\xff\xd9"
+
+    w, h, rgb = decode_jpeg(bytes(data))
+    assert (w, h) == (16, 8)
+    assert (rgb[:, :8] == 140).all()
+    assert (rgb[:, 8:] == 120).all()
