@@ -1788,10 +1788,15 @@ def _streets_e2e_sql() -> str:
     Σ bbox-diag length, and segment count."""
     return """
         WITH RECURSIVE nodes AS (
+          -- CAST(... AS DOUBLE): bare 0.1/0.001 literals are DECIMAL in
+          -- DuckDB, and exact-decimal bboxes disagree with Spark's
+          -- doubles at pads that land exactly on the 0.002 boundary
+          -- (166 components of 130k differed at sf0.1 before the cast)
           SELECT l_orderkey * 10 + l_linenumber AS nid,
-                 min((CAST(floor(l_orderkey / 100.0) AS BIGINT) % 100) * 0.1
-                     + (l_partkey % 10) * 0.001) AS lat,
-                 min((l_orderkey % 100) * 0.1 + l_linenumber * 0.001) AS lon
+                 min((CAST(floor(l_orderkey / 100.0) AS BIGINT) % 100) * CAST(0.1 AS DOUBLE)
+                     + (l_partkey % 10) * CAST(0.001 AS DOUBLE)) AS lat,
+                 min((l_orderkey % 100) * CAST(0.1 AS DOUBLE)
+                     + l_linenumber * CAST(0.001 AS DOUBLE)) AS lon
           FROM lineitem GROUP BY l_orderkey * 10 + l_linenumber),
         wn AS (SELECT DISTINCT l_orderkey AS way_id,
                                l_orderkey * 10 + l_linenumber AS nid
@@ -1803,12 +1808,19 @@ def _streets_e2e_sql() -> str:
         named AS (SELECT wb.*,
                          'Street ' || CAST(o.o_custkey % 50 AS VARCHAR) AS name
                   FROM wb JOIN orders o ON o.o_orderkey = wb.way_id),
-        edges AS (
+        edges_d AS (
           SELECT l.name, l.way_id AS a, r.way_id AS b
           FROM named l JOIN named r
             ON l.name = r.name AND l.way_id <> r.way_id
            AND l.swx - 0.002 <= r.nex AND l.nex + 0.002 >= r.swx
            AND l.swy - 0.002 <= r.ney AND l.ney + 0.002 >= r.swy),
+        -- symmetrize: the reference discovers pairs from both endpoints'
+        -- padded R-tree queries, and the directional float tests can
+        -- disagree exactly at pad boundaries (a+p rounds differently
+        -- from b-p); the recursive closure follows stored direction, so
+        -- a one-way edge would otherwise split a component
+        edges AS (SELECT name, a, b FROM edges_d
+                  UNION SELECT name, b AS a, a AS b FROM edges_d),
         reach AS (
           SELECT name, way_id AS src, way_id AS dst FROM named
           UNION

@@ -114,7 +114,11 @@ def _union_find_clusters(swx, swy, nex, ney) -> np.ndarray:
             & (swy[ids][:, None] - p <= ney[ids][None, :])
             & (ney[ids][:, None] + p >= swy[ids][None, :])
         )
-        ii, jj = np.nonzero(np.triu(hit, k=1))
+        # the reference discovers pairs from BOTH endpoints' padded
+        # R-tree queries (streets.rs:125-141), so an edge exists if
+        # EITHER directional test passes — they can disagree exactly at
+        # pad-boundary floats, where a+p and b-p round differently
+        ii, jj = np.nonzero(np.triu(hit | hit.T, k=1))
         eis.append(ids[ii])
         ejs.append(ids[jj])
     ei = np.concatenate(eis) if eis else np.empty(0, np.int64)
