@@ -196,44 +196,33 @@ def q_o2_pair_dedup(spark, sf_dir):
     )
 
 
-def q_a3_xor_id(spark, sf_dir):
-    """A3: order-independent XOR-fold id (street id analog)."""
+def q_street_attrs(spark, sf_dir):
+    """A3+A4+A6 consolidated (r4): XOR-fold street id, bounds e/n/s/w,
+    and the bbox-diagonal length quirk per street group, all in ONE
+    groupBy — three reference quirks (streets.rs XOR id, geo.rs bounds,
+    bbox-diag length), one shuffle. Replaces the r3 micro-queries
+    a3_xor_id / a6_bounds / a4_bbox_diag_length so every oracle-bearing
+    query fits the driver's 50-row correctness window."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_orderkey").agg(
-        F.expr("bit_xor(l_partkey)").alias("xor_id")
+    pts = li.select(
+        F.col("l_orderkey").alias("grp"),
+        "l_partkey",
+        ((F.col("l_partkey") % 100) * F.lit(0.1)).alias("lon"),
+        ((F.col("l_suppkey") % 100) * F.lit(0.1)).alias("lat"),
     )
-
-
-def q_a6_bounds(spark, sf_dir):
-    """A6: bounds (e,n,s,w) per group over derived points."""
-    return (
-        _points(spark, sf_dir)
-        .withColumn("grp", (F.col("point_id") / 10).cast("long"))
-        .groupBy("grp")
-        .agg(
-            F.round(F.max("lon"), 6).alias("e"),
-            F.round(F.max("lat"), 6).alias("n"),
-            F.round(F.min("lat"), 6).alias("s"),
-            F.round(F.min("lon"), 6).alias("w"),
-        )
-    )
-
-
-def q_a4_bbox_diag_length(spark, sf_dir):
-    """A4: street-length quirk — euclidean bbox diagonal per group."""
-    return (
-        _points(spark, sf_dir)
-        .withColumn("grp", (F.col("point_id") / 10).cast("long"))
-        .groupBy("grp")
-        .agg(
-            F.round(
-                F.sqrt(
-                    F.pow(F.max("lon") - F.min("lon"), 2)
-                    + F.pow(F.max("lat") - F.min("lat"), 2)
-                ),
-                6,
-            ).alias("bbox_diag")
-        )
+    return pts.groupBy("grp").agg(
+        F.expr("bit_xor(l_partkey)").alias("xor_id"),
+        F.round(F.max("lon"), 6).alias("e"),
+        F.round(F.max("lat"), 6).alias("n"),
+        F.round(F.min("lat"), 6).alias("s"),
+        F.round(F.min("lon"), 6).alias("w"),
+        F.round(
+            F.sqrt(
+                F.pow(F.max("lon") - F.min("lon"), 2)
+                + F.pow(F.max("lat") - F.min("lat"), 2)
+            ),
+            6,
+        ).alias("bbox_diag"),
     )
 
 
@@ -261,13 +250,22 @@ def q_a7_line_centroid(spark, sf_dir):
         )
         c = line_centroid(xy)
         return pd.DataFrame(
-            # 6dp is clean at the sf0.01 gate scale (and sf0.001). The
-            # synthetic grid is dyadic, so at 10x scale a weighted mean
-            # can land EXACTLY on a rounding half-boundary where the two
-            # engines' float sequences round apart (sf0.1 has one such
-            # row, grp 129470 = 4.3828125; 5dp has two) — an artifact of
-            # hashing rounded floats, not an engine defect.
-            [{"grp": pdf["grp"].iloc[0], "cx": round(c[0], 6), "cy": round(c[1], 6)}]
+            # Epsilon-snap (+1e-9) before the 6dp round, mirrored in the
+            # oracle: the synthetic grid is dyadic, so a weighted mean
+            # can land EXACTLY on a rounding half-boundary (sf0.1 grp
+            # 129470 = 4.3828125) where the engines' ~1e-12 summation-
+            # order noise rounds apart. The shift moves every half-
+            # boundary value decisively above the boundary on both
+            # sides; values must sit within 1e-9 of a boundary minus the
+            # shift to misround, and the dyadic grid places them exactly
+            # ON boundaries instead.
+            [
+                {
+                    "grp": pdf["grp"].iloc[0],
+                    "cx": round(c[0] + 1e-9, 6),
+                    "cy": round(c[1] + 1e-9, 6),
+                }
+            ]
         )
 
     return (
@@ -471,14 +469,26 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.dedup_clusters(pairs)
 
 
-def q_text_stats(spark, sf_dir):
-    """Token counting + quality features (pure Column expressions)."""
+def q_text_metrics(spark, sf_dir):
+    """Text-analysis suite consolidated (r4): token counts, normalized
+    length, stopword-vote language id, quality score, and Gopher-style
+    repetition stats — all pure Column expressions over ONE scan of
+    documents (no Python in the plan). Replaces the r3 micro-queries
+    text_stats / lang_id / quality_score / repetition."""
+    from osm_pbf2json_spark.functions.text import repetition_stats
+
     docs = _t(spark, sf_dir, "documents")
+    s = repetition_stats(F.col("text"))
     return docs.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
         regex_token_count(F.col("text")).alias("n_rtokens"),
         F.length(normalize(F.col("text"))).alias("n_norm_chars"),
+        lang_id(F.col("text")).alias("lang_pred"),
+        F.round(quality_score(F.col("text")), 6).alias("q"),
+        s["n_words"].alias("n_words"),
+        F.round(s["dup_word_frac"], 6).alias("dup_word_frac"),
+        F.round(s["top_bigram_frac"], 6).alias("top_bigram_frac"),
     )
 
 
@@ -493,12 +503,6 @@ def q_source_stats(spark, sf_dir):
     """Per-source corpus triage: volume, exact-dup rate, token mass."""
     docs = _t(spark, sf_dir, "documents")
     return corpus.source_stats(docs)
-
-
-def q_lang_id(spark, sf_dir):
-    """Stopword-vote language id."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
 
 def _messy_urls(spark, sf_dir, path_mod: int | None = None):
@@ -532,31 +536,30 @@ def _messy_urls(spark, sf_dir, path_mod: int | None = None):
     return o.select(F.col("o_orderkey").alias("id"), url.alias("url"))
 
 
-def q_url_canonical(spark, sf_dir):
-    """URL canonicalization + eTLD+1 for the Common-Crawl-style key
-    column (pure Catalyst; the oracle mirrors every rule)."""
+def q_url_metrics(spark, sf_dir):
+    """URL suite consolidated (r4): canonicalization + eTLD+1 per row
+    AND exact canonical-URL dedup (survivor id + dup count joined back
+    onto every member) over the messy-URL table with paths collapsed
+    mod 1000 so real dup groups exist. Exercises canonicalize_url,
+    registered_domain, and the url_dedup operator in one oracle-checked
+    query; replaces the r3 pair url_canonical / url_dedup. All pure
+    Catalyst — the join key is the canonical form itself."""
     from osm_pbf2json_spark.functions.urls import (
         canonicalize_url,
         registered_domain,
+        url_dedup,
         url_host,
     )
 
-    d = _messy_urls(spark, sf_dir)
-    return d.select(
+    d = _messy_urls(spark, sf_dir, path_mod=1000)
+    c = d.select(
         "id",
         canonicalize_url(F.col("url")).alias("canonical_url"),
         registered_domain(url_host(F.col("url"))).alias("domain"),
     )
-
-
-def q_url_dedup(spark, sf_dir):
-    """Exact URL-level dedup on the canonical form (paths collapsed mod
-    1000 to force survivors with real dup counts)."""
-    from osm_pbf2json_spark.functions.urls import url_dedup
-
-    d = _messy_urls(spark, sf_dir, path_mod=1000)
-    return url_dedup(d, url_col="url", id_col="id").select(
-        F.col("curl"), "survivor_id", "n_dups"
+    dd = url_dedup(d, url_col="url", id_col="id")
+    return c.join(dd, c.canonical_url == dd.curl).select(
+        "id", "canonical_url", "domain", "survivor_id", "n_dups"
     )
 
 
@@ -567,21 +570,6 @@ def q_contamination(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     ev = docs.filter(F.col("doc_id") % 50 == 0)
     return dedup.contamination_hits(docs, ev, n=5).select("id", "n_hits")
-
-
-def q_repetition(spark, sf_dir):
-    """Gopher-style intra-doc repetition: duplicate-word fraction + top
-    word-bigram fraction, pure Catalyst, mirrored in DuckDB list ops."""
-    from osm_pbf2json_spark.functions.text import repetition_stats
-
-    docs = _t(spark, sf_dir, "documents")
-    s = repetition_stats(F.col("text"))
-    return docs.select(
-        "doc_id",
-        s["n_words"].alias("n_words"),
-        F.round(s["dup_word_frac"], 6).alias("dup_word_frac"),
-        F.round(s["top_bigram_frac"], 6).alias("top_bigram_frac"),
-    )
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -1058,10 +1046,18 @@ def q_streaming_sessionize(spark, sf_dir):
     return spark.table(name).select("key", "session_start", "session_end", "n_events")
 
 
-def q_hex_tiles(spark, sf_dir):
-    """Hex (aperture-7) tile assignment at res 9 — engine grid."""
+def q_tile_encodes(spark, sf_dir):
+    """Hex (res 9, pure-Catalyst codegen encode) AND Hilbert quad
+    (level 12, Arrow batch kernel) tile ids per point in one pass —
+    consolidated (r4) from the r3 pair hex_tiles / quad_tiles. Both
+    encodes ride the same scan; no join, no extra shuffle."""
     pts = _points(spark, sf_dir)
-    return spatial.point_tile(pts, res=9, grid="hex").select("point_id", "tile")
+    h = spatial.point_tile(pts, res=9, grid="hex").withColumnRenamed(
+        "tile", "hex_tile"
+    )
+    return spatial.point_tile(h, res=12, grid="quad").select(
+        "point_id", "hex_tile", F.col("tile").alias("quad_tile")
+    )
 
 
 def q_kring_pairs(spark, sf_dir):
@@ -1088,12 +1084,6 @@ def q_flagship_rollup(spark, sf_dir):
     return spatial.pip_tile_rollup(pts, GRID_POLYGONS, res=9, grid="hex")
 
 
-def q_quad_tiles(spark, sf_dir):
-    """Hilbert quad-cell assignment at level 12 — engine grid."""
-    pts = _points(spark, sf_dir)
-    return spatial.point_tile(pts, res=12, grid="quad").select("point_id", "tile")
-
-
 def q_tile_pyramid(spark, sf_dir):
     """One-pass multi-resolution tile pyramid (levels 12/10/8) — coarse
     cells via the Hilbert nesting bit-shift, single shuffle."""
@@ -1106,11 +1096,6 @@ def q_ann_lsh(spark, sf_dir):
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     out = ann.cosine_topk_lsh(emb, [(0, [float(x) for x in qv])], k=5, n_planes=6)
     return out.select("neighbor_id", "rank")
-
-
-def q_quality_score(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", F.round(quality_score(F.col("text")), 6).alias("q"))
 
 
 def q_ann_ivf(spark, sf_dir):
@@ -1277,69 +1262,79 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order is load-bearing: the driver's correctness gate
+    records the FIRST 50 entries, so the 50 oracle-bearing queries come
+    first (reference-parity e2e pipelines up front) and the 3 rows-only
+    trained-ANN variants (runtime k-means — no SQL oracle by design;
+    their scale-critical assignment paths ARE hash-checked via
+    ivf/pq/opq_assign) sit at positions 51-53. r4 consolidated four
+    micro-query groups (a3/a4/a6 → street_attrs, hex/quad_tiles →
+    tile_encodes, text_stats/lang_id/quality_score/repetition →
+    text_metrics, url_canonical/url_dedup → url_metrics) so every
+    SQL-expressible operator has a driver correctness row."""
     return {
+        # reference-parity e2e pipelines
+        "streets_e2e": q_streets_e2e,
+        "objects_e2e": q_objects_e2e,
+        "boundaries_e2e": q_boundaries_e2e,
+        "objects_poly": q_objects_poly,
+        "pipeline_e2e": q_pipeline_e2e,
+        "flagship_rollup": q_flagship_rollup,
+        # SURVEY §2 operator checks
         "f1_filter_dsl": q_f1_filter_dsl,
         "f5_prefilter": q_f5_prefilter,
         "j1_ordered_resolution": q_j1_ordered_resolution,
         "j2_relation_resolve": q_j2_relation_resolve,
         "s2_closure": q_s2_closure,
-        "boundaries_e2e": q_boundaries_e2e,
         "o2_pair_dedup": q_o2_pair_dedup,
-        "a3_xor_id": q_a3_xor_id,
-        "a6_bounds": q_a6_bounds,
-        "a4_bbox_diag_length": q_a4_bbox_diag_length,
+        "street_attrs": q_street_attrs,
         "a7_line_centroid": q_a7_line_centroid,
         "j5_pip_join": q_j5_pip_join,
         "j5b_pip_cells": q_j5b_pip_cells,
         "j6_bbox_self_join": q_j6_bbox_self_join,
+        # spatial grids / tiles
         "tile_assign": q_tile_assign,
         "tile_histogram": q_tile_histogram,
+        "tile_encodes": q_tile_encodes,
+        "tile_pyramid": q_tile_pyramid,
+        "kring_pairs": q_kring_pairs,
         "knn": q_knn,
+        # ANN (hash-checkable paths)
+        "ivf_assign": q_ivf_assign,
+        "pq_assign": q_pq_assign,
+        "opq_assign": q_opq_assign,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh": q_ann_lsh,
+        "emb_norms": q_emb_norms,
+        "embedding_neardup": q_embedding_neardup,
+        # dedup / decontamination / splits
+        "dedup_exact": q_dedup_exact,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_neardup": q_simhash_neardup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "contamination": q_contamination,
+        "hash_split": q_hash_split,
+        # text / corpus / urls
+        "text_metrics": q_text_metrics,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "tfidf_topk": q_tfidf_topk,
+        "source_stats": q_source_stats,
+        "url_metrics": q_url_metrics,
+        # relational core
         "window_topk": q_window_topk,
         "agg_pricing": q_agg_pricing,
         "group_quantiles": q_group_quantiles,
         "events_window": q_events_window,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
-        "dedup_exact": q_dedup_exact,
-        "ngram_jaccard": q_ngram_jaccard,
-        "dedup_clusters": q_dedup_clusters,
-        "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
-        "tfidf_topk": q_tfidf_topk,
-        "url_canonical": q_url_canonical,
-        "url_dedup": q_url_dedup,
-        "source_stats": q_source_stats,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "emb_norms": q_emb_norms,
-        # rows-only (no SQL equivalent): minhash/simhash internals, engine
-        # grids (Hilbert/hex ids), LSH ANN, heuristic quality score
-        "minhash_lsh": q_minhash_lsh,
-        "simhash_neardup": q_simhash_neardup,
-        "hex_tiles": q_hex_tiles,
-        "kring_pairs": q_kring_pairs,
+        # streaming (real availableNow micro-batch runs)
         "streaming_tiles": q_streaming_tiles,
         "streaming_sessionize": q_streaming_sessionize,
-        "flagship_rollup": q_flagship_rollup,
-        "quad_tiles": q_quad_tiles,
-        "tile_pyramid": q_tile_pyramid,
-        "ann_lsh": q_ann_lsh,
-        "quality_score": q_quality_score,
-        "repetition": q_repetition,
-        "contamination": q_contamination,
-        "embedding_neardup": q_embedding_neardup,
-        "winnow_fingerprints": q_winnow_fingerprints,
+        # --- positions 51+: rows-only by design (runtime-trained) ---
         "ann_ivf": q_ann_ivf,
-        "ivf_assign": q_ivf_assign,
-        "pq_assign": q_pq_assign,
-        "opq_assign": q_opq_assign,
         "ann_pq": q_ann_pq,
         "ann_ivfpq": q_ann_ivfpq,
-        "streets_e2e": q_streets_e2e,
-        "objects_e2e": q_objects_e2e,
-        "objects_poly": q_objects_poly,
-        "hash_split": q_hash_split,
-        "pipeline_e2e": q_pipeline_e2e,
     }
 
 
@@ -1417,6 +1412,38 @@ def _quality_sql() -> str:
     """
 
 
+def _repetition_sql() -> str:
+    """Mirror of functions.text.repetition_stats: duplicate-word
+    fraction + top word-bigram fraction (Gopher-style), max_tokens=2048
+    cap mirrored with list_slice."""
+    return """
+        WITH t AS (
+          SELECT doc_id,
+                 list_slice(list_filter(
+                     regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> ''), 1, 2048) AS ws
+          FROM documents),
+        b AS (
+          SELECT doc_id, ws, len(ws) AS n,
+                 CASE WHEN len(ws) >= 2
+                      THEN list_transform(range(1, len(ws)),
+                                          i -> ws[i] || ' ' || ws[i + 1])
+                      ELSE [] END AS bg
+          FROM t)
+        SELECT doc_id,
+               CAST(n AS INT) AS n_words,
+               round(CASE WHEN n > 0
+                          THEN 1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / n
+                          ELSE 0.0 END, 6) AS dup_word_frac,
+               round(CASE WHEN len(bg) > 0
+                          THEN CAST(list_max(list_transform(list_distinct(bg),
+                                   x -> len(list_filter(bg, y -> y = x))))
+                               AS DOUBLE) / len(bg)
+                          ELSE 0.0 END, 6) AS top_bigram_frac
+        FROM b
+    """
+
+
 def _hex_chain(res: int) -> str:
     """CTE chain mirroring functions.tiles.hex_cell at `res`, from a
     `pts(point_id, lon, lat)` CTE to `hexed(point_id, lon, lat, tile)`:
@@ -1458,14 +1485,6 @@ def _hex_chain(res: int) -> str:
                            THEN 18446744073709551616::HUGEINT ELSE 0 END
                     AS BIGINT) AS tile
         FROM ax)
-    """
-
-
-def _hex_tiles_sql(res: int = 9) -> str:
-    return f"""
-        WITH pts AS ({_POINTS_SQL}),
-        {_hex_chain(res)}
-        SELECT point_id, tile FROM hexed
     """
 
 
@@ -1567,27 +1586,30 @@ def _flagship_rollup_sql(res: int = 9) -> str:
     """
 
 
-def _quad_chain(level: int = 12) -> str:
+def _quad_chain(level: int = 12, carry: str = "", src: str = "pts") -> str:
     """Recursive-CTE mirror of functions.tiles.quad_cell at `level` (see
-    _quad_tiles_sql), from `pts(point_id, lon, lat)` to
-    `quadded(point_id, d)` — the raw Hilbert position, pack left to the
-    caller."""
+    _tile_encodes_sql), from `{src}(point_id, lon, lat, ...)` to
+    `quadded(point_id{carry}, d)` — the raw Hilbert position, pack left
+    to the caller. `carry` (e.g. ", tile") threads passthrough columns
+    through the recursion — point_id is NOT unique in the synthetic
+    data (duplicate line numbers with different coords), so a join-back
+    would amplify rows."""
     n = 1 << level
     s0 = 1 << (level - 1)
     return f"""
         cells AS (
-          SELECT point_id,
+          SELECT point_id{carry},
                  least(greatest(CAST(floor(((lon - (-180.0)) / 360.0) * {n}.0)
                                      AS BIGINT), 0), {n - 1}) AS x0,
                  least(greatest(CAST(floor(((lat - (-90.0)) / 180.0) * {n}.0)
                                      AS BIGINT), 0), {n - 1}) AS y0
-          FROM pts),
+          FROM {src}),
         h AS (
-          SELECT point_id, x0 AS x, y0 AS y,
+          SELECT point_id{carry}, x0 AS x, y0 AS y,
                  CAST(0 AS BIGINT) AS d, CAST({s0} AS BIGINT) AS s
           FROM cells
           UNION ALL
-          SELECT point_id,
+          SELECT point_id{carry},
                  CASE WHEN ry = 0
                       THEN (CASE WHEN rx = 1 THEN s - 1 - y ELSE y END)
                       ELSE x END,
@@ -1596,26 +1618,28 @@ def _quad_chain(level: int = 12) -> str:
                       ELSE y END,
                  d + s * s * xor(3 * rx, ry),
                  s // 2
-          FROM (SELECT point_id, x, y, d, s,
+          FROM (SELECT point_id{carry}, x, y, d, s,
                        CASE WHEN (x & s) > 0 THEN CAST(1 AS BIGINT)
                             ELSE CAST(0 AS BIGINT) END AS rx,
                        CASE WHEN (y & s) > 0 THEN CAST(1 AS BIGINT)
                             ELSE CAST(0 AS BIGINT) END AS ry
                 FROM h WHERE s > 0) t),
-        quadded AS (SELECT point_id, d FROM h WHERE s = 0)
+        quadded AS (SELECT point_id{carry}, d FROM h WHERE s = 0)
     """
 
 
-def _quad_tiles_sql(level: int = 12) -> str:
-    """Mirror of functions.tiles.quad_cell at `level`: lon/lat → 2^level
-    grid (truncating like .astype(int64) — inputs are non-negative after
-    the +180/+90 shift, so floor == trunc), then the classic Hilbert
-    xy→d bit-rotation unrolled as a recursive CTE, packed as
-    (level << 58) | d."""
+def _tile_encodes_sql(hex_res: int = 9, quad_level: int = 12) -> str:
+    """Combined mirror of q_tile_encodes: the hex axial chain and the
+    recursive Hilbert quad chain (lon/lat → 2^level grid, truncating
+    like .astype(int64), then the classic Hilbert xy→d bit-rotation,
+    packed as (level << 58) | d) share the pts CTE (disjoint CTE names)
+    and join 1:1 on point_id."""
     return f"""
         WITH RECURSIVE pts AS ({_POINTS_SQL}),
-        {_quad_chain(level)}
-        SELECT point_id, CAST({level << 58} + d AS BIGINT) AS tile
+        {_hex_chain(hex_res)},
+        {_quad_chain(quad_level, carry=", tile", src="hexed")}
+        SELECT point_id, tile AS hex_tile,
+               CAST({quad_level << 58} + d AS BIGINT) AS quad_tile
         FROM quadded
     """
 
@@ -1912,10 +1936,13 @@ def _ann_lsh_sql(k: int = 5, n_planes: int = 6, dim: int = 64, seed: int = 42) -
     """
 
 
-def _url_sql(path_mod: int | None = None, dedup: bool = False) -> str:
+def _url_sql(path_mod: int | None = None, mode: str = "metrics") -> str:
     """Mirror of functions.urls canonicalization over the same
     synthesized messy-URL table (_messy_urls): identical split regex,
-    port/fragment/tracking rules, param sort, and eTLD+1 logic."""
+    port/fragment/tracking rules, param sort, and eTLD+1 logic.
+    mode='dedup' → per-canonical-URL survivor rows; mode='metrics'
+    (q_url_metrics) → per-id canonical + domain + the dedup aggregate
+    joined back onto every member."""
     from osm_pbf2json_spark.functions.urls import (
         MULTI_SUFFIXES,
         TRACKING_PARAM_RE,
@@ -1926,11 +1953,24 @@ def _url_sql(path_mod: int | None = None, dedup: bool = False) -> str:
     cj = "CAST(o_custkey % 3 AS INT) + 1"
     pathexpr = f"o_orderkey % {path_mod}" if path_mod else "o_orderkey"
     suffixes = "[" + ",".join(f"'{s}'" for s in MULTI_SUFFIXES) + "]"
-    final = (
-        "SELECT canonical_url AS curl, min(id) AS survivor_id, "
-        "count(*) AS n_dups FROM curl GROUP BY canonical_url"
-        if dedup
-        else """
+    if mode == "dedup":
+        final = (
+            "SELECT canonical_url AS curl, min(id) AS survivor_id, "
+            "count(*) AS n_dups FROM curl GROUP BY canonical_url"
+        )
+    else:
+        dd_join = (
+            """
+            JOIN (SELECT canonical_url AS curl, min(id) AS survivor_id,
+                         count(*) AS n_dups
+                  FROM curl GROUP BY canonical_url) dd
+              ON c.canonical_url = dd.curl
+            """
+            if mode == "metrics"
+            else ""
+        )
+        dd_cols = ", dd.survivor_id, dd.n_dups" if mode == "metrics" else ""
+        final = """
         SELECT c.id, c.canonical_url,
                CASE WHEN len(d.ls) <= 2 THEN d.h
                     WHEN list_contains({sfx},
@@ -1938,13 +1978,16 @@ def _url_sql(path_mod: int | None = None, dedup: bool = False) -> str:
                     THEN d.ls[len(d.ls) - 2] || '.' || d.ls[len(d.ls) - 1]
                          || '.' || d.ls[len(d.ls)]
                     ELSE d.ls[len(d.ls) - 1] || '.' || d.ls[len(d.ls)] END AS domain
+               {dd_cols}
         FROM curl c JOIN (
           SELECT id, h, string_split(h, '.') AS ls
           FROM (SELECT id, regexp_replace(regexp_replace(host0, ':[0-9]+$', ''),
                                           '^www\\.', '') AS h FROM parts)
         ) d USING (id)
-        """.replace("{sfx}", suffixes)
-    )
+        {dd_join}
+        """.replace("{sfx}", suffixes).replace("{dd_cols}", dd_cols).replace(
+            "{dd_join}", dd_join
+        )
     return f"""
         WITH u AS (
           SELECT o_orderkey AS id,
@@ -2253,18 +2296,10 @@ def oracle_sql() -> dict[str, str]:
                             greatest(l_partkey, l_suppkey) AS b
             FROM lineitem WHERE l_quantity > 45
         """,
-        "a3_xor_id": """
-            SELECT l_orderkey, bit_xor(l_partkey) AS xor_id
-            FROM lineitem GROUP BY l_orderkey
-        """,
-        "a6_bounds": f"""
-            SELECT l_orderkey AS grp,
+        "street_attrs": f"""
+            SELECT l_orderkey AS grp, bit_xor(l_partkey) AS xor_id,
                    round(max({_PT_LON}), 6) AS e, round(max({_PT_LAT}), 6) AS n,
-                   round(min({_PT_LAT}), 6) AS s, round(min({_PT_LON}), 6) AS w
-            FROM lineitem GROUP BY l_orderkey
-        """,
-        "a4_bbox_diag_length": f"""
-            SELECT l_orderkey AS grp,
+                   round(min({_PT_LAT}), 6) AS s, round(min({_PT_LON}), 6) AS w,
                    round(sqrt(pow(max({_PT_LON}) - min({_PT_LON}), 2)
                             + pow(max({_PT_LAT}) - min({_PT_LAT}), 2)), 6) AS bbox_diag
             FROM lineitem GROUP BY l_orderkey
@@ -2287,8 +2322,10 @@ def oracle_sql() -> dict[str, str]:
                      (x0 + x1) / 2 AS mx, (y0 + y1) / 2 AS my
               FROM seg WHERE x1 IS NOT NULL
             )
-            SELECT grp, round(sum(mx * len) / sum(len), 6) AS cx,
-                        round(sum(my * len) / sum(len), 6) AS cy
+            -- +1e-9 epsilon-snap mirrors the engine kernel: dyadic
+            -- half-boundary means round consistently on both engines
+            SELECT grp, round(sum(mx * len) / sum(len) + 1e-9, 6) AS cx,
+                        round(sum(my * len) / sum(len) + 1e-9, 6) AS cy
             FROM segl GROUP BY grp HAVING sum(len) > 0
         """,
         "j5_pip_join": f"""
@@ -2452,17 +2489,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT x AS id, least(x, min(y)) AS cluster_id
             FROM reach GROUP BY x
         """,
-        "text_stats": """
-            SELECT doc_id,
-                   len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                                   x -> x <> '')) AS n_tokens,
-                   len(regexp_extract_all(text,
-                       '[A-Za-zÀ-ÿ]+|[0-9]+|[^\\sA-Za-zÀ-ÿ0-9]')) AS n_rtokens,
-                   length(trim(regexp_replace(regexp_replace(lower(text),
-                       '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS n_norm_chars
-            FROM documents
+        "text_metrics": f"""
+            SELECT ts.doc_id, ts.n_tokens, ts.n_rtokens, ts.n_norm_chars,
+                   li.lang_pred, qs.q,
+                   rep.n_words, rep.dup_word_frac, rep.top_bigram_frac
+            FROM (
+              SELECT doc_id,
+                     len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                     x -> x <> '')) AS n_tokens,
+                     len(regexp_extract_all(text,
+                         '[A-Za-zÀ-ÿ]+|[0-9]+|[^\\sA-Za-zÀ-ÿ0-9]')) AS n_rtokens,
+                     length(trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS n_norm_chars
+              FROM documents
+            ) ts
+            JOIN ({_stopword_sql_case()}) li USING (doc_id)
+            JOIN ({_quality_sql()}) qs USING (doc_id)
+            JOIN ({_repetition_sql()}) rep USING (doc_id)
         """,
-        "lang_id": _stopword_sql_case(),
         "tfidf_topk": f"""
             WITH toks AS (
               SELECT doc_id, term FROM (
@@ -2518,7 +2562,6 @@ def oracle_sql() -> dict[str, str]:
                                                  CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
             FROM embeddings
         """,
-        "quality_score": _quality_sql(),
         "contamination": f"""
             WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
             ws AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
@@ -2536,40 +2579,12 @@ def oracle_sql() -> dict[str, str]:
             FROM grams JOIN ev USING (g)
             GROUP BY grams.doc_id
         """,
-        "repetition": """
-            WITH t AS (
-              -- list_slice mirrors the engine's max_tokens=2048 cap
-              SELECT doc_id,
-                     list_slice(list_filter(
-                         regexp_split_to_array(lower(text), '\\s+'),
-                         x -> x <> ''), 1, 2048) AS ws
-              FROM documents),
-            b AS (
-              SELECT doc_id, ws, len(ws) AS n,
-                     CASE WHEN len(ws) >= 2
-                          THEN list_transform(range(1, len(ws)),
-                                              i -> ws[i] || ' ' || ws[i + 1])
-                          ELSE [] END AS bg
-              FROM t)
-            SELECT doc_id,
-                   CAST(n AS INT) AS n_words,
-                   round(CASE WHEN n > 0
-                              THEN 1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / n
-                              ELSE 0.0 END, 6) AS dup_word_frac,
-                   round(CASE WHEN len(bg) > 0
-                              THEN CAST(list_max(list_transform(list_distinct(bg),
-                                       x -> len(list_filter(bg, y -> y = x))))
-                                   AS DOUBLE) / len(bg)
-                              ELSE 0.0 END, 6) AS top_bigram_frac
-            FROM b
-        """,
-        "hex_tiles": _hex_tiles_sql(9),
+        "tile_encodes": _tile_encodes_sql(9, 12),
         "kring_pairs": _kring_pairs_sql(1, 5),
         "pipeline_e2e": _pipeline_e2e_sql(),
         "streaming_tiles": _streaming_tiles_sql(9),
         "streaming_sessionize": _streaming_sessionize_sql(),
         "flagship_rollup": _flagship_rollup_sql(9),
-        "quad_tiles": _quad_tiles_sql(12),
         "tile_pyramid": _tile_pyramid_sql((12, 10, 8)),
         "winnow_fingerprints": _winnow_sql(),
         "hash_split": _hash_split_sql(),
@@ -2683,6 +2698,5 @@ def oracle_sql() -> dict[str, str]:
         "ivf_assign": _ivf_assign_sql(5, 3),
         "pq_assign": _pq_assign_sql(),
         "opq_assign": _opq_assign_sql(),
-        "url_canonical": _url_sql(),
-        "url_dedup": _url_sql(path_mod=1000, dedup=True),
+        "url_metrics": _url_sql(path_mod=1000, mode="metrics"),
     }
