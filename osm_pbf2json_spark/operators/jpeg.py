@@ -1,10 +1,13 @@
 """Baseline JPEG (JFIF) codec — pure stdlib + NumPy, no codec libs.
 
 Implements the subset of ITU-T T.81 that covers the dominant crawl image
-format: baseline sequential DCT, 8-bit samples, Huffman entropy coding,
-grayscale or YCbCr with sampling factors up to 2×2 (4:4:4 / 4:2:2 /
-4:2:0), restart markers, APPn/COM skipping. Progressive (SOF2),
-arithmetic coding, and 12-bit precision raise NotImplementedError.
+formats: baseline sequential DCT (SOF0/1) AND progressive DCT (SOF2 —
+spectral selection, successive approximation, EOB runs, Annex G), 8-bit
+samples, Huffman entropy coding, grayscale or YCbCr with sampling
+factors up to 2×2 (4:4:4 / 4:2:2 / 4:2:0), restart markers, APPn/COM
+skipping. Arithmetic coding, hierarchical (SOF3/5..15), and 12-bit
+precision raise NotImplementedError; malformed streams raise ValueError
+(one uniform contract — see decode_jpeg).
 
 The encoder (baseline, 4:4:4, Annex K tables) exists so decode can be
 round-trip tested without golden binaries from external tools; the
@@ -225,14 +228,27 @@ def _decode_huff(br: _BitReader, table) -> int:
 
 
 def decode_jpeg(payload: bytes, max_pixels: int = 64_000_000):
-    """Baseline JFIF bytes → (width, height, rgb uint8 (h, w, 3)).
+    """Baseline OR progressive JFIF bytes → (width, height, rgb uint8
+    (h, w, 3)).
 
     Grayscale images are replicated to 3 channels. Raises
-    NotImplementedError for progressive/arithmetic/12-bit streams and
-    ValueError for malformed data. `max_pixels` bounds allocation
-    against crafted headers (a 2-byte dimension field can declare a
-    65535² image — a 34 GB plane — from a 200-byte payload).
-    """
+    NotImplementedError for arithmetic-coded / hierarchical / 12-bit
+    streams and ValueError for malformed data — truncation, missing
+    tables, and bad segment lengths are all normalized to ValueError
+    here so callers get one exception contract (a corrupt crawl payload
+    must route to format-NULL, not fail the Spark job). `max_pixels`
+    bounds allocation against crafted headers (a 2-byte dimension field
+    can declare a 65535² image — a 34 GB plane — from a 200-byte
+    payload)."""
+    try:
+        return _decode_jpeg(payload, max_pixels)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(
+            f"malformed JPEG stream ({type(e).__name__}: {e})"
+        ) from e
+
+
+def _decode_jpeg(payload: bytes, max_pixels: int):
     d = payload
     if d[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -242,14 +258,21 @@ def decode_jpeg(payload: bytes, max_pixels: int = 64_000_000):
     comps = None  # [(cid, h, v, tq)]
     width = height = 0
     restart_interval = 0
-    scan = None
+    progressive = False
+    geom = None  # cid -> (h, v, bx_tot, by_tot, cw, ch)
+    coefs: dict[int, np.ndarray] = {}  # cid -> (by_tot, bx_tot, 64) zigzag
+    pred: dict[int, int] = {}
+    nscans = 0
     while pos < len(d):
         if d[pos] != 0xFF:
             pos += 1
             continue
         marker = d[pos + 1]
         pos += 2
-        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x00, 0x01) or 0xD0 <= marker <= 0xD8:
+            # stuffed byte / TEM / RSTn / stray SOI: no length field
             continue
         (seglen,) = struct.unpack(">H", d[pos : pos + 2])
         seg = d[pos + 2 : pos + seglen]
@@ -265,7 +288,7 @@ def decode_jpeg(payload: bytes, max_pixels: int = 64_000_000):
                     q = np.frombuffer(seg[p : p + 128], ">u2").astype(np.int32)
                     p += 128
                 qtabs[tq] = q
-        elif marker == 0xC4:  # DHT
+        elif marker == 0xC4:  # DHT (may appear between progressive scans)
             p = 0
             while p < len(seg):
                 tc, th = seg[p] >> 4, seg[p] & 0xF
@@ -274,7 +297,8 @@ def decode_jpeg(payload: bytes, max_pixels: int = 64_000_000):
                 vals = list(seg[p + 17 : p + 17 + n])
                 htabs[(tc, th)] = _huff_decode_table((bits, vals))
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -285,99 +309,69 @@ def decode_jpeg(payload: bytes, max_pixels: int = 64_000_000):
                 cid = seg[6 + 3 * i]
                 hv = seg[7 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0xF, seg[8 + 3 * i]))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            if width * height > max_pixels or width == 0 or height == 0:
+                raise ValueError(f"unreasonable dimensions {width}x{height}")
+            if any(h < 1 or h > 2 or v < 1 or v > 2 for _, h, v, _ in comps):
+                raise NotImplementedError("sampling factors beyond 2x2")
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+            geom = {}
+            for cid, h, v, tq in comps:
+                # cw/ch: the component's OWN block grid (T.81 A.1.1) —
+                # non-interleaved scans traverse exactly these blocks,
+                # NOT the MCU-padded grid
+                cw = (-(-width * h // hmax) + 7) // 8
+                ch = (-(-height * v // vmax) + 7) // 8
+                geom[cid] = (h, v, mcus_x * h, mcus_y * v, cw, ch)
+                coefs[cid] = np.zeros((mcus_y * v, mcus_x * h, 64), np.int32)
+                pred[cid] = 0
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"unsupported JPEG coding process (SOF marker 0x{marker:02X}); "
-                "only baseline sequential DCT is implemented"
+                "baseline sequential and progressive DCT are implemented"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode this scan's entropy data
+            if comps is None:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
             scan = []
             for i in range(ns):
                 cs = seg[1 + 2 * i]
                 tt = seg[2 + 2 * i]
                 scan.append((cs, tt >> 4, tt & 0xF))
-            pos += seglen
-            break
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0xF
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            pos = _decode_scan(
+                d, pos + seglen, scan, ss, se, ah, al,
+                htabs, coefs, pred, geom, restart_interval, progressive,
+            )
+            nscans += 1
+            continue
         pos += seglen
-    if comps is None or scan is None:
+    if comps is None or nscans == 0:
         raise ValueError("missing SOF/SOS")
-    if width * height > max_pixels or width == 0 or height == 0:
-        raise ValueError(f"unreasonable dimensions {width}x{height}")
-    if any(h < 1 or h > 2 or v < 1 or v > 2 for _, h, v, _ in comps):
-        raise NotImplementedError("sampling factors beyond 2x2")
 
+    # dequantize + IDCT per component, batched over all blocks
+    chans = []
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = (width + mcu_w - 1) // mcu_w
-    mcus_y = (height + mcu_h - 1) // mcu_h
-
-    # per-component coefficient planes (in 8x8 block units)
-    planes = {}
     for cid, h, v, tq in comps:
-        planes[cid] = np.zeros((mcus_y * v * 8, mcus_x * h * 8), np.float64)
-
-    br = _BitReader(d, pos)
-    pred = {cid: 0 for cid, _, _, _ in comps}
-    scan_by_cid = {s[0]: s for s in scan}
-    n_mcu = 0
-    blocks: dict[int, list] = {cid: [] for cid, _, _, _ in comps}
-    blockpos: dict[int, list] = {cid: [] for cid, _, _, _ in comps}
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
-                br.sync_restart()
-                pred = {cid: 0 for cid in pred}
-            n_mcu += 1
-            for cid, h, v, tq in comps:
-                _, td, ta = scan_by_cid[cid]
-                dct = htabs[(0, td)]
-                act = htabs[(1, ta)]
-                for by in range(v):
-                    for bx in range(h):
-                        zz = np.zeros(64, np.int32)
-                        t = _decode_huff(br, dct)
-                        diff = _extend(br.receive(t), t) if t else 0
-                        pred[cid] += diff
-                        zz[0] = pred[cid]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_huff(br, act)
-                            r, ssss = rs >> 4, rs & 0xF
-                            if ssss == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC index out of range")
-                            zz[k] = _extend(br.receive(ssss), ssss)
-                            k += 1
-                        blocks[cid].append(zz)
-                        blockpos[cid].append(
-                            ((my * v + by) * 8, (mx * h + bx) * 8)
-                        )
-
-    # dequantize + IDCT per component, batched
-    for cid, h, v, tq in comps:
-        if not blocks[cid]:
-            continue
-        zz = np.stack(blocks[cid])  # (N, 64) zigzag order
+        by_tot, bx_tot = coefs[cid].shape[:2]
+        zz = coefs[cid].reshape(-1, 64)
         q = qtabs[tq]
         coef = (zz * q[None, :]).astype(np.float64)[:, UNZIGZAG].reshape(-1, 8, 8)
         spat = _idct2(coef) + 128.0
-        pl = planes[cid]
-        for (r0, c0), b in zip(blockpos[cid], spat):
-            pl[r0 : r0 + 8, c0 : c0 + 8] = b
-
-    # upsample to full resolution (sample replication) and crop
-    chans = []
-    for cid, h, v, tq in comps:
-        pl = planes[cid]
+        pl = (
+            spat.reshape(by_tot, bx_tot, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by_tot * 8, bx_tot * 8)
+        )
         if h != hmax or v != vmax:
             pl = np.repeat(np.repeat(pl, vmax // v, axis=0), hmax // h, axis=1)
         chans.append(pl[:height, :width])
@@ -393,6 +387,185 @@ def decode_jpeg(payload: bytes, max_pixels: int = 64_000_000):
     b = Y + 1.772 * (Cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return width, height, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_scan(
+    d, pos, scan, ss, se, ah, al, htabs, coefs, pred, geom,
+    restart_interval, progressive,
+):
+    """Decode one scan's entropy-coded data into the coefficient
+    arrays; returns the byte position after the scan. Handles all four
+    progressive scan kinds (T.81 Annex G): DC first (Ah=0, Ss=0), DC
+    refine, AC first (Ss>0, single component, EOB runs), AC refine
+    (correction bits) — plus baseline scans as the Ss=0..63 special
+    case. Restart markers reset the DC predictors and the EOB run."""
+    br = _BitReader(d, pos)
+    eobrun = 0
+
+    def maybe_restart(n_unit):
+        nonlocal eobrun
+        if restart_interval and n_unit and n_unit % restart_interval == 0:
+            br.sync_restart()
+            for c in pred:
+                pred[c] = 0
+            eobrun = 0
+
+    if len(scan) == 1:
+        # non-interleaved (T.81 A.2.2): traverse the component's OWN
+        # block grid cw×ch, not the MCU-padded grid
+        cid, td, ta = scan[0]
+        _, _, _, _, cw, ch = geom[cid]
+        arr = coefs[cid]
+        n_unit = 0
+        for by in range(ch):
+            for bx in range(cw):
+                maybe_restart(n_unit)
+                n_unit += 1
+                zz = arr[by, bx]
+                if not progressive:
+                    _decode_block_baseline(
+                        br, htabs[(0, td)], htabs[(1, ta)], zz, pred, cid
+                    )
+                elif ss == 0:
+                    _decode_dc(br, htabs, td, cid, pred, zz, ah, al)
+                else:
+                    eobrun = _decode_ac(
+                        br, htabs[(1, ta)], zz, ss, se, ah, al, eobrun
+                    )
+    else:
+        # interleaved MCU traversal (baseline, or progressive DC scan)
+        if progressive and ss != 0:
+            raise ValueError("interleaved progressive AC scan is illegal")
+        any_cid = scan[0][0]
+        _, v0, _, by_tot0, _, _ = geom[any_cid]
+        mcus_y = by_tot0 // v0
+        _, _, bx_tot0, _, _, _ = geom[any_cid]
+        h0 = geom[any_cid][0]
+        mcus_x = bx_tot0 // h0
+        n_mcu = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                maybe_restart(n_mcu)
+                n_mcu += 1
+                for cid, td, ta in scan:
+                    h, v = geom[cid][0], geom[cid][1]
+                    arr = coefs[cid]
+                    for by in range(v):
+                        for bx in range(h):
+                            zz = arr[my * v + by, mx * h + bx]
+                            if progressive:
+                                _decode_dc(br, htabs, td, cid, pred, zz, ah, al)
+                            else:
+                                _decode_block_baseline(
+                                    br, htabs[(0, td)], htabs[(1, ta)],
+                                    zz, pred, cid,
+                                )
+    return br.pos
+
+
+def _decode_block_baseline(br, dct, act, zz, pred, cid):
+    """Baseline DC diff + AC run-length for one full block (T.81 F.2)."""
+    t = _decode_huff(br, dct)
+    diff = _extend(br.receive(t), t) if t else 0
+    pred[cid] += diff
+    zz[0] = pred[cid]
+    k = 1
+    while k < 64:
+        rs = _decode_huff(br, act)
+        r, ssss = rs >> 4, rs & 0xF
+        if ssss == 0:
+            if r == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC index out of range")
+        zz[k] = _extend(br.receive(ssss), ssss)
+        k += 1
+
+
+def _decode_dc(br, htabs, td, cid, pred, zz, ah, al):
+    """Progressive DC data unit: first scan codes diffs scaled by 2^Al;
+    refinement appends one bit at position Al (T.81 G.1.2.1)."""
+    if ah == 0:
+        t = _decode_huff(br, htabs[(0, td)])
+        diff = _extend(br.receive(t), t) if t else 0
+        pred[cid] += diff
+        zz[0] = pred[cid] << al
+    else:
+        if br.read_bit():
+            zz[0] |= 1 << al
+    return 0
+
+
+def _decode_ac(br, act, zz, ss, se, ah, al, eobrun):
+    """Progressive AC data unit for one block's Ss..Se band (T.81
+    G.1.2.2/G.1.2.3): first scan places new coefficients scaled by 2^Al
+    with EOB-run skips; refinement reads correction bits for coded
+    coefficients and sign bits for newly nonzero ones."""
+    if ah == 0:  # first scan of this band
+        if eobrun > 0:
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            rs = _decode_huff(br, act)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.receive(r)
+                    return eobrun
+                k += 16
+                continue
+            k += r
+            if k > se:
+                raise ValueError("AC index out of band")
+            zz[k] = _extend(br.receive(s), s) << al
+            k += 1
+        return 0
+
+    # refinement scan
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(br, act)
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break  # remaining coefficients handled in EOB sweep
+            else:
+                if s != 1:
+                    raise ValueError("invalid refinement magnitude")
+                newval = p1 if br.read_bit() else m1
+            # advance over r zero-history positions, emitting correction
+            # bits for every nonzero-history coefficient passed
+            while k <= se:
+                if zz[k] != 0:
+                    if br.read_bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                zz[k] = newval
+            k += 1
+    if eobrun > 0:
+        # EOB sweep: correction bits for remaining nonzero coefficients
+        while k <= se:
+            if zz[k] != 0 and br.read_bit() and (zz[k] & p1) == 0:
+                zz[k] += p1 if zz[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 # --- encoder (baseline, 4:4:4, Annex K tables) --------------------------------

@@ -5,16 +5,18 @@ Decode support is format-tiered:
 - REAL decoders (pure stdlib/numpy, no external media libs needed):
   BMP (24-bit BITMAPINFOHEADER), PPM (P6), WAV (PCM16 via the stdlib
   `wave` module), PNG (8-bit RGB/RGBA, all five scanline filters —
-  zlib inflate IS stdlib), and baseline JPEG (sequential DCT, Huffman,
-  grayscale/YCbCr up to 2×2 subsampling — see operators/jpeg.py).
-  These produce real dimensions/sample-rates and content features
-  (mean RGB, luma stats, RMS, zero-crossing rate), detected by payload
-  magic bytes.
+  zlib inflate IS stdlib), and JPEG — baseline AND progressive DCT,
+  Huffman, grayscale/YCbCr up to 2×2 subsampling (see
+  operators/jpeg.py). These produce real dimensions/sample-rates and
+  content features (mean RGB, luma stats, RMS, zero-crossing rate),
+  detected by payload magic bytes.
 - STUBBED decode for formats whose codecs aren't in this container
-  (progressive JPEG/MP3/MP4): `decode_features` raises
+  (arithmetic/hierarchical JPEG, MP3/MP4): `decode_features` raises
   NotImplementedError unless `fake=True`, in which case a deterministic
   featurizer (seeded from the payload hash) produces stable output so
-  downstream operators stay testable end-to-end.
+  downstream operators stay testable end-to-end. Corrupt/truncated
+  payloads of recognized formats route to format-NULL (decode_media) or
+  the stub path (decode_features) — never fail the job.
 
 The Spark-side machinery — schemas, Arrow batch shapes, partitioning,
 UDF signatures — is identical for both tiers.
@@ -322,9 +324,12 @@ def decode_media(media: DataFrame, payload_col: str = "payload", id_col: str = "
             for mid, p in zip(pdf[id_col], pdf[payload_col]):
                 try:
                     d = decode_one(bytes(p) if p is not None else b"")
-                except NotImplementedError:
-                    # recognized container, unsupported coding process
-                    # (e.g. progressive JPEG) — same routing as unknown
+                except (NotImplementedError, ValueError, KeyError,
+                        IndexError, struct.error):
+                    # recognized container but unsupported coding process
+                    # (e.g. arithmetic JPEG) OR corrupt/truncated payload
+                    # — one bad crawl payload must route to format-NULL,
+                    # not fail the whole Spark job
                     d = None
                 if d is None:
                     rows.append((mid, None, None, None, None, None, []))
@@ -363,8 +368,9 @@ def decode_features(
                 payload = bytes(p) if p is not None else b""
                 try:
                     d = decode_one(payload)
-                except NotImplementedError:
-                    d = None  # unsupported coding process → stub routing
+                except (NotImplementedError, ValueError, KeyError,
+                        IndexError, struct.error):
+                    d = None  # unsupported/corrupt payload → stub routing
                 if d is not None:
                     feats.append(d[5].tolist())
                 elif fake:

@@ -626,6 +626,46 @@ def point_tile(points: DataFrame, res: int, lon_col="lon", lat_col="lat", grid="
 # --- kNN ----------------------------------------------------------------------
 
 
+def _knn_tile_select(qid_arr, qlon_arr, qlat_arr, hist_arrs, k, query_chunk):
+    """Provable-bound tile selection, fully vectorized: per query, rank
+    occupied tiles by farthest-corner distance; once cumulative count
+    reaches k at bound D_k the exact candidate set is every tile whose
+    nearest point-to-bbox distance ≤ D_k. One numpy broadcast per
+    `query_chunk` queries; output is four stacked (candidate) arrays —
+    no per-pair Python loop. Runs identically on the driver (list
+    queries) and inside mapInPandas (DataFrame queries)."""
+    tiles, cnt, bx0, bx1, by0, by1 = hist_arrs
+    outs = []
+    for c0 in range(0, len(qid_arr), query_chunk):
+        ql = qlon_arr[c0 : c0 + query_chunk][:, None]  # (Q, 1)
+        qt = qlat_arr[c0 : c0 + query_chunk][:, None]
+        dmin = np.hypot(
+            np.maximum(np.maximum(bx0[None, :] - ql, ql - bx1[None, :]), 0.0),
+            np.maximum(np.maximum(by0[None, :] - qt, qt - by1[None, :]), 0.0),
+        )
+        dmax = np.hypot(
+            np.maximum(np.abs(ql - bx0[None, :]), np.abs(ql - bx1[None, :])),
+            np.maximum(np.abs(qt - by0[None, :]), np.abs(qt - by1[None, :])),
+        )
+        order = np.argsort(dmax, axis=1, kind="stable")
+        csum = np.cumsum(cnt[order], axis=1)
+        pos = (csum < k).sum(axis=1)  # first index where csum >= k
+        in_range = pos < order.shape[1]
+        dk = np.full(len(order), np.inf)
+        rows_ok = np.flatnonzero(in_range)
+        dk[rows_ok] = dmax[rows_ok, order[rows_ok, pos[rows_ok]]]
+        qi, ti = np.nonzero(dmin <= dk[:, None])
+        outs.append(
+            (qid_arr[c0 + qi], qlon_arr[c0 + qi], qlat_arr[c0 + qi], tiles[ti])
+        )
+    if not outs:
+        return (
+            np.array([], np.int64), np.array([], np.float64),
+            np.array([], np.float64), np.array([], np.int64),
+        )
+    return tuple(np.concatenate([o[j] for o in outs]) for j in range(4))
+
+
 def knn_join(
     points: DataFrame,
     queries,
@@ -641,9 +681,14 @@ def knn_join(
     reference's euclidean geo math); haversine meters reported alongside.
 
     `queries` is a list of (qid, qlon, qlat) tuples OR a DataFrame with
-    columns (qid, lon, lat) — the query side is the SMALL side of this
-    design (it is broadcast against the corpus), so a DataFrame query
-    side is collected; the corpus side never is.
+    columns (qid, lon, lat). A list runs tile selection driver-side
+    (numpy over the collected histogram — right for ad-hoc query sets).
+    A DataFrame NEVER touches the driver: the (tile, count, bbox)
+    histogram is broadcast and the SAME selection kernel runs inside a
+    mapInPandas over the query partitions, so batch kNN (10⁶+ queries
+    over a corpus) scales with executors; the candidate join is left to
+    AQE (broadcast for small candidate sets, shuffle join beyond). The
+    corpus side is never collected in either mode.
 
     Exactly TWO Spark jobs, no driver-side expansion loop and no
     crossJoin fallback:
@@ -674,11 +719,7 @@ def knn_join(
     JVM-side/whole-stage-codegen; no Python touches the corpus.
     """
     spark = points.sparkSession
-    if isinstance(queries, DataFrame):
-        queries = [
-            (r["qid"], float(r["lon"]), float(r["lat"]))
-            for r in queries.select("qid", "lon", "lat").collect()
-        ]
+    query_chunk = max(1, int(query_chunk))
     s = float(T.hex_size(res))
     cx = F.floor(F.col(lon_col) / s).cast("long")
     cy = F.floor(F.col(lat_col) / s).cast("long")
@@ -703,50 +744,54 @@ def knn_join(
         return spark.createDataFrame(
             [], "qid long, neighbor_id long, dist_deg double, dist_m double, rank int"
         )
-    tiles = np.array([r["tile"] for r in hist], dtype=np.int64)
-    cnt = np.array([r["n"] for r in hist], dtype=np.int64)
-    bx0 = np.array([r["x0"] for r in hist], dtype=np.float64)
-    bx1 = np.array([r["x1"] for r in hist], dtype=np.float64)
-    by0 = np.array([r["y0"] for r in hist], dtype=np.float64)
-    by1 = np.array([r["y1"] for r in hist], dtype=np.float64)
+    hist_arrs = (
+        np.array([r["tile"] for r in hist], dtype=np.int64),
+        np.array([r["n"] for r in hist], dtype=np.int64),
+        np.array([r["x0"] for r in hist], dtype=np.float64),
+        np.array([r["x1"] for r in hist], dtype=np.float64),
+        np.array([r["y0"] for r in hist], dtype=np.float64),
+        np.array([r["y1"] for r in hist], dtype=np.float64),
+    )
 
-    qid_arr = np.array([q[0] for q in queries], dtype=np.int64)
-    qlon_arr = np.array([q[1] for q in queries], dtype=np.float64)
-    qlat_arr = np.array([q[2] for q in queries], dtype=np.float64)
-    qrows = []
-    for c0 in range(0, len(queries), max(1, query_chunk)):
-        ql = qlon_arr[c0 : c0 + query_chunk][:, None]  # (Q, 1)
-        qt = qlat_arr[c0 : c0 + query_chunk][:, None]
-        dmin = np.hypot(
-            np.maximum(np.maximum(bx0[None, :] - ql, ql - bx1[None, :]), 0.0),
-            np.maximum(np.maximum(by0[None, :] - qt, qt - by1[None, :]), 0.0),
-        )
-        dmax = np.hypot(
-            np.maximum(np.abs(ql - bx0[None, :]), np.abs(ql - bx1[None, :])),
-            np.maximum(np.abs(qt - by0[None, :]), np.abs(qt - by1[None, :])),
-        )
-        order = np.argsort(dmax, axis=1, kind="stable")
-        csum = np.cumsum(cnt[order], axis=1)
-        pos = (csum < k).sum(axis=1)  # first index where csum >= k
-        in_range = pos < order.shape[1]
-        dk = np.full(len(order), np.inf)
-        rows_ok = np.flatnonzero(in_range)
-        dk[rows_ok] = dmax[rows_ok, order[rows_ok, pos[rows_ok]]]
-        qi, ti = np.nonzero(dmin <= dk[:, None])
-        for a, b in zip(qi, ti):
-            qrows.append(
-                (
-                    int(qid_arr[c0 + a]),
-                    float(qlon_arr[c0 + a]),
-                    float(qlat_arr[c0 + a]),
-                    int(tiles[b]),
+    if isinstance(queries, DataFrame):
+        # executor-side selection: broadcast the histogram, run the same
+        # kernel per query partition — the query set never hits the
+        # driver, and AQE picks the candidate-join strategy
+        bc = spark.sparkContext.broadcast(hist_arrs)
+
+        def sel(batches):
+            arrs = bc.value
+            for pdf in batches:
+                qid, qlon, qlat, tile = _knn_tile_select(
+                    pdf["qid"].to_numpy(np.int64),
+                    pdf["lon"].to_numpy(np.float64),
+                    pdf["lat"].to_numpy(np.float64),
+                    arrs, k, query_chunk,
                 )
-            )
-    qdf = spark.createDataFrame(qrows, "qid long, qlon double, qlat double, tile long")
+                yield pd.DataFrame(
+                    {"qid": qid, "qlon": qlon, "qlat": qlat, "tile": tile}
+                )
+
+        qdf = queries.select("qid", "lon", "lat").mapInPandas(
+            sel, "qid long, qlon double, qlat double, tile long"
+        )
+        cand = pts.join(qdf, "tile")
+    else:
+        qid, qlon, qlat, tile = _knn_tile_select(
+            np.array([q[0] for q in queries], dtype=np.int64),
+            np.array([q[1] for q in queries], dtype=np.float64),
+            np.array([q[2] for q in queries], dtype=np.float64),
+            hist_arrs, k, query_chunk,
+        )
+        qdf = spark.createDataFrame(
+            pd.DataFrame({"qid": qid, "qlon": qlon, "qlat": qlat, "tile": tile}),
+            "qid long, qlon double, qlat double, tile long",
+        )
+        cand = pts.join(F.broadcast(qdf), "tile")
 
     w = Window.partitionBy("qid").orderBy(F.col("dist_deg").asc(), F.col(id_col).asc())
     final = (
-        pts.join(F.broadcast(qdf), "tile")
+        cand
         .withColumn(
             "dist_deg",
             F.sqrt(

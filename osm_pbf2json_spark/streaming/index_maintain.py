@@ -132,8 +132,15 @@ def maintain_signature_index(
         pruned = set(_versions(index_path)[:-keep_versions])
         for v in pruned:
             shutil.rmtree(os.path.join(index_path, f"v={v}"), ignore_errors=True)
+        # prune markers for pruned versions AND any marker older than the
+        # oldest retained committed version — an epoch that crashed
+        # before its data write claims a version that never commits, so
+        # matching only the just-pruned set would leak it forever (and
+        # permanently advance the max(claims) version counter)
+        retained = _versions(index_path)
+        oldest_kept = retained[0] if retained else version
         for mname, v in _claimed_versions(index_path).items():
-            if v in pruned:
+            if v in pruned or v < oldest_kept:
                 try:
                     os.remove(os.path.join(_epoch_dir(index_path), mname))
                 except OSError:

@@ -1,6 +1,8 @@
 """Graft operators: dedup family, ANN, text analysis, pages, multimodal
 plumbing, lineage/restart."""
 
+import struct
+
 import numpy as np
 import pyspark.sql.functions as F
 import pytest
@@ -1105,10 +1107,10 @@ def test_jpeg_round_trip():
     assert np.abs(back3.astype(int) - noise.astype(int)).max() <= 4
 
 
-def test_jpeg_progressive_raises_and_routes_to_stub(spark):
-    """SOF2 (progressive) raises NotImplementedError from decode_jpeg;
-    through decode_media it routes to format-NULL, and through
-    decode_features(fake=True) to the deterministic stub."""
+def test_jpeg_arithmetic_raises_and_routes_to_stub(spark):
+    """SOF9 (arithmetic-coded) raises NotImplementedError from
+    decode_jpeg; through decode_media it routes to format-NULL, and
+    through decode_features(fake=True) to the deterministic stub."""
     import struct
 
     import pytest
@@ -1122,21 +1124,429 @@ def test_jpeg_progressive_raises_and_routes_to_stub(spark):
     )
 
     body = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
-    prog = (
+    arith = (
         b"\xff\xd8"
-        + bytes([0xFF, 0xC2]) + struct.pack(">H", len(body) + 2) + body
+        + bytes([0xFF, 0xC9]) + struct.pack(">H", len(body) + 2) + body
         + b"\xff\xd9"
     )
-    assert sniff_format(prog) == "jpeg"
-    with pytest.raises(NotImplementedError, match="progressive|baseline"):
-        decode_jpeg(prog)
+    assert sniff_format(arith) == "jpeg"
+    with pytest.raises(NotImplementedError, match="coding process"):
+        decode_jpeg(arith)
     media = spark.createDataFrame(
-        [(1, "image", prog, None)], MEDIA_SCHEMA
+        [(1, "image", arith, None)], MEDIA_SCHEMA
     )
     r = decode_media(media).collect()[0]
     assert r["format"] is None and r["features"] == []
     f = decode_features(media, fake=True).collect()[0]
     assert len(f["features"]) == 16
+
+
+def test_jpeg_corrupt_payload_contract(spark):
+    """Malformed JPEG streams raise ValueError (one exception contract —
+    truncation and missing-DHT used to leak IndexError/KeyError), and a
+    corrupt payload in a decode_media batch routes to format-NULL
+    instead of failing the Spark job."""
+    import pytest
+
+    from osm_pbf2json_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from osm_pbf2json_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    good = encode_jpeg(img, quality=80)
+
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:3])  # truncated inside the first marker
+    # strip every DHT segment -> referenced-but-missing Huffman table
+    no_dht = bytearray()
+    pos = 0
+    while pos < len(good):
+        if good[pos] == 0xFF and pos + 1 < len(good) and good[pos + 1] == 0xC4:
+            (ln,) = struct.unpack(">H", good[pos + 2 : pos + 4])
+            pos += 2 + ln
+            continue
+        no_dht.append(good[pos])
+        pos += 1
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(no_dht))
+
+    media = spark.createDataFrame(
+        [(1, "image", good, None), (2, "image", bytes(good[:40]), None)],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert rows[1]["format"] == "jpeg" and rows[1]["width"] == 16
+    assert rows[2]["format"] is None and rows[2]["features"] == []
+
+
+def test_jpeg_progressive_spec_literal():
+    """Progressive decoder pinned by a HAND-CONSTRUCTED SOF2 stream
+    (independent of any encoder): grayscale 8x8 solid 130 in three
+    scans — DC first at Al=1 (diff 8, category 4 = '101' + '1000'),
+    DC refinement (one 0 bit), AC first 1..63 (EOB = '1010'). The
+    successive-approximation reconstruction (8<<1)|0 = 16 must equal
+    the baseline stream's DC coefficient, so the pixels match the
+    baseline spec-literal golden exactly."""
+    import struct
+
+    from osm_pbf2json_spark.operators.jpeg import (
+        _AC_LUMA_SPEC,
+        _DC_LUMA_SPEC,
+        decode_jpeg,
+    )
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def dht(tc, th, spec):
+        bits, vals = spec
+        return bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+
+    data = bytearray(b"\xff\xd8")
+    data += seg(0xDB, bytes([0]) + bytes([1] * 64))  # unit quant
+    data += seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    data += seg(0xC4, dht(0, 0, _DC_LUMA_SPEC))
+    data += seg(0xC4, dht(1, 0, _AC_LUMA_SPEC))
+    # scan 1: DC first, Ss=0 Se=0 Ah=0 Al=1 — codes 16>>1 = 8 (cat 4):
+    # '101' + '1000' = 1011000, 1-padded to 0xB1
+    data += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01])) + bytes([0xB1])
+    # scan 2: DC refine, Ah=1 Al=0 — one 0 bit (16 & 1), padded 0x7F
+    data += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10])) + bytes([0x7F])
+    # scan 3: AC first 1..63, all zero — EOB '1010', padded 0xAF
+    data += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + bytes([0xAF])
+    data += b"\xff\xd9"
+
+    w, h, rgb = decode_jpeg(bytes(data))
+    assert (w, h) == (8, 8)
+    assert (rgb == 130).all()
+
+
+def _jpeg_seg(marker, body):
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _jpeg_dht(tc, th, spec):
+    bits, vals = spec
+    return bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+
+
+def _enc_dc(bw, diff, codes):
+    t = int(abs(diff)).bit_length()
+    c, ln = codes[t]
+    bw.write(c, ln)
+    if t:
+        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+
+def _enc_block_baseline(bw, zz, pred, cid, dc, ac):
+    _enc_dc(bw, int(zz[0]) - pred[cid], dc)
+    pred[cid] = int(zz[0])
+    nz = [k for k in range(1, 64) if zz[k]]
+    last = nz[-1] if nz else 0
+    run = 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac[0xF0]
+            bw.write(c, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        c, ln = ac[(run << 4) | s]
+        bw.write(c, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        c, ln = ac[0x00]
+        bw.write(c, ln)
+
+
+def _enc_ac_first_scan(bw, blocks, ss, se, al, ac):
+    """Progressive AC first scan (T.81 G.1.2.2) with cross-block EOB-run
+    accumulation, so the decoder's multi-block EOBRUN skip is exercised."""
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            c, ln = ac[r << 4]
+            bw.write(c, ln)
+            if r:
+                bw.write(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for zz in blocks:
+        if not any(abs(int(zz[k])) >> al for k in range(ss, se + 1)):
+            eobrun += 1
+            continue
+        flush_eob()
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            av = abs(v) >> al
+            if av == 0:
+                r += 1
+                continue
+            while r > 15:
+                c, ln = ac[0xF0]
+                bw.write(c, ln)
+                r -= 16
+            s = av.bit_length()
+            c, ln = ac[(r << 4) | s]
+            bw.write(c, ln)
+            sv = av if v >= 0 else -av
+            bw.write(sv if sv >= 0 else sv + (1 << s) - 1, s)
+            r = 0
+        if r > 0:
+            eobrun = 1
+    flush_eob()
+
+
+def _enc_ac_refine_scan(bw, blocks, ss, se, al, ac):
+    """Progressive AC refinement (T.81 G.1.2.3): per-block EOB, buffered
+    correction bits flushed after each symbol, libjpeg bit order."""
+    for zz in blocks:
+        r = 0
+        pending = []
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            t = abs(v) >> al
+            if t == 0:
+                r += 1
+                continue
+            # ZRL emission must precede buffering THIS position's bit
+            # (libjpeg order): pending bits flushed with a ZRL are read
+            # by the decoder while it advances over that ZRL's 16 zeros,
+            # so they may only come from positions before those zeros
+            while r > 15:
+                c, ln = ac[0xF0]
+                bw.write(c, ln)
+                for b in pending:
+                    bw.write(b, 1)
+                pending = []
+                r -= 16
+            if t > 1:
+                pending.append((abs(v) >> al) & 1)
+                continue
+            c, ln = ac[(r << 4) | 1]
+            bw.write(c, ln)
+            bw.write(1 if v > 0 else 0, 1)
+            for b in pending:
+                bw.write(b, 1)
+            pending = []
+            r = 0
+        if r > 0 or pending:
+            c, ln = ac[0x00]
+            bw.write(c, ln)
+            for b in pending:
+                bw.write(b, 1)
+
+
+def test_jpeg_progressive_matches_baseline():
+    """Baseline and progressive streams built from the SAME synthesized
+    quantized coefficients must decode to identical pixels — grayscale
+    and 3-component 4:2:0 (24x16: the luma MCU-padded grid is 4x2
+    blocks but its own grid is 3x2, so non-interleaved AC scans must
+    use the component grid). The progressive stream uses successive
+    approximation (Al=1 first scans + Al=0 refinements) with band
+    splits and cross-block EOB runs; DC scans are interleaved."""
+    from osm_pbf2json_spark.operators.jpeg import (
+        _AC_CHROMA_SPEC,
+        _AC_LUMA_SPEC,
+        _BitWriter,
+        _DC_CHROMA_SPEC,
+        _DC_LUMA_SPEC,
+        _huff_codes,
+        decode_jpeg,
+    )
+
+    dc_l, ac_l = _huff_codes(_DC_LUMA_SPEC), _huff_codes(_AC_LUMA_SPEC)
+    dc_c, ac_c = _huff_codes(_DC_CHROMA_SPEC), _huff_codes(_AC_CHROMA_SPEC)
+    # Annex K AC tables carry no EOBn (r>0, s=0) symbols — those exist
+    # only in progressive streams, which ship custom tables. Flat table:
+    # all 256 symbols at code length 9 (canonical, all-ones unused).
+    flat_spec = ([0, 0, 0, 0, 0, 0, 0, 0, 255, 0, 0, 0, 0, 0, 0, 0],
+                 list(range(255)))
+    flat_ac = _huff_codes(flat_spec)
+    rng = np.random.Generator(np.random.PCG64(21))
+
+    def sparse_blocks(n):
+        out = []
+        for _ in range(n):
+            zz = np.zeros(64, np.int64)
+            zz[0] = int(rng.integers(-90, 90))
+            for _k in range(int(rng.integers(0, 10))):
+                zz[int(rng.integers(1, 64))] = int(rng.integers(-80, 80))
+            out.append(zz)
+        # ensure some all-zero-AC blocks so EOB runs span blocks
+        for i in range(0, n, 3):
+            out[i][1:] = 0
+        return out
+
+    # --- grayscale 8 blocks wide x 1 high (64x8) -------------------------
+    gy = sparse_blocks(8)
+    hdr = bytearray(b"\xff\xd8")
+    hdr += _jpeg_seg(0xDB, bytes([0]) + bytes([1] * 64))
+    sof_body = bytes([8]) + struct.pack(">HH", 8, 64) + bytes([1, 1, 0x11, 0])
+    hdr += _jpeg_seg(0xC4, _jpeg_dht(0, 0, _DC_LUMA_SPEC))
+    hdr += _jpeg_seg(0xC4, _jpeg_dht(1, 0, _AC_LUMA_SPEC))
+
+    base = bytearray(hdr)
+    base += _jpeg_seg(0xC0, sof_body)
+    bw = _BitWriter()
+    pred = {1: 0}
+    for zz in gy:
+        _enc_block_baseline(bw, zz, pred, 1, dc_l, ac_l)
+    bw.flush()
+    base += _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])) + bytes(bw.out)
+    base += b"\xff\xd9"
+
+    prog = bytearray(hdr)
+    prog += _jpeg_seg(0xC4, _jpeg_dht(1, 0, flat_spec))  # flat AC w/ EOBn
+    prog += _jpeg_seg(0xC2, sof_body)
+    # DC first at Al=1
+    bw = _BitWriter()
+    pred = {1: 0}
+    for zz in gy:
+        _enc_dc(bw, (int(zz[0]) >> 1) - pred[1], dc_l)
+        pred[1] = int(zz[0]) >> 1
+    bw.flush()
+    prog += _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01])) + bytes(bw.out)
+    # AC first, two bands, Al=1
+    for ss, se in ((1, 20), (21, 63)):
+        bw = _BitWriter()
+        _enc_ac_first_scan(bw, gy, ss, se, 1, flat_ac)
+        bw.flush()
+        prog += _jpeg_seg(0xDA, bytes([1, 1, 0x00, ss, se, 0x01])) + bytes(bw.out)
+    # DC refine
+    bw = _BitWriter()
+    for zz in gy:
+        bw.write(int(zz[0]) & 1, 1)
+    bw.flush()
+    prog += _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10])) + bytes(bw.out)
+    # AC refine, same bands
+    for ss, se in ((1, 20), (21, 63)):
+        bw = _BitWriter()
+        _enc_ac_refine_scan(bw, gy, ss, se, 0, flat_ac)
+        bw.flush()
+        prog += _jpeg_seg(0xDA, bytes([1, 1, 0x00, ss, se, 0x10])) + bytes(bw.out)
+    prog += b"\xff\xd9"
+
+    wb, hb, rgb_base = decode_jpeg(bytes(base))
+    wp, hp, rgb_prog = decode_jpeg(bytes(prog))
+    assert (wb, hb) == (64, 8) == (wp, hp)
+    assert (rgb_base == rgb_prog).all()
+
+    # --- 3-component 4:2:0, 24x16 ---------------------------------------
+    # luma padded grid 4x2 (MCU-interleaved), own grid 3x2 (AC scans);
+    # chroma grids 2x1. Padded-only luma blocks (column 3) are coded by
+    # the baseline scan but not by progressive AC scans — they are
+    # cropped away, so outputs still match on the visible 24x16.
+    yb = sparse_blocks(8)  # 4x2 row-major padded grid
+    cb = sparse_blocks(2)
+    cr = sparse_blocks(2)
+    y_own = [yb[ry * 4 + rx] for ry in range(2) for rx in range(3)]
+    for blk in (yb[3], yb[7]):  # padded column: DC only, zero AC
+        blk[1:] = 0
+
+    hdr3 = bytearray(b"\xff\xd8")
+    hdr3 += _jpeg_seg(0xDB, bytes([0]) + bytes([1] * 64))
+    hdr3 += _jpeg_seg(0xDB, bytes([1]) + bytes([1] * 64))
+    for tc, th, spec in (
+        (0, 0, _DC_LUMA_SPEC), (1, 0, _AC_LUMA_SPEC),
+        (0, 1, _DC_CHROMA_SPEC), (1, 1, _AC_CHROMA_SPEC),
+    ):
+        hdr3 += _jpeg_seg(0xC4, _jpeg_dht(tc, th, spec))
+    sof3 = (
+        bytes([8]) + struct.pack(">HH", 16, 24)
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )
+
+    def mcu_iter():
+        """(cid, zz) in interleaved MCU order for 2x1 MCUs."""
+        for mx in range(2):
+            for by in range(2):
+                for bx in range(2):
+                    yield 1, yb[by * 4 + mx * 2 + bx]
+            yield 2, cb[mx]
+            yield 3, cr[mx]
+
+    base3 = bytearray(hdr3)
+    base3 += _jpeg_seg(0xC0, sof3)
+    bw = _BitWriter()
+    pred = {1: 0, 2: 0, 3: 0}
+    for cid, zz in mcu_iter():
+        dc, ac = (dc_l, ac_l) if cid == 1 else (dc_c, ac_c)
+        _enc_block_baseline(bw, zz, pred, cid, dc, ac)
+    bw.flush()
+    base3 += _jpeg_seg(
+        0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    ) + bytes(bw.out)
+    base3 += b"\xff\xd9"
+
+    prog3 = bytearray(hdr3)
+    prog3 += _jpeg_seg(0xC4, _jpeg_dht(1, 0, flat_spec))
+    prog3 += _jpeg_seg(0xC4, _jpeg_dht(1, 1, flat_spec))
+    prog3 += _jpeg_seg(0xC2, sof3)
+    # DC first, interleaved over all three components, Al=1
+    bw = _BitWriter()
+    pred = {1: 0, 2: 0, 3: 0}
+    for cid, zz in mcu_iter():
+        dc = dc_l if cid == 1 else dc_c
+        _enc_dc(bw, (int(zz[0]) >> 1) - pred[cid], dc)
+        pred[cid] = int(zz[0]) >> 1
+    bw.flush()
+    prog3 += _jpeg_seg(
+        0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, 0x01])
+    ) + bytes(bw.out)
+    # AC first scans per component (luma band-split), Al=1
+    for comp_sel, blocks, ac, bands in (
+        (1, y_own, flat_ac, ((1, 5), (6, 63))),
+        (2, cb, flat_ac, ((1, 63),)),
+        (3, cr, flat_ac, ((1, 63),)),
+    ):
+        tt = 0x00 if comp_sel == 1 else 0x11
+        for ss, se in bands:
+            bw = _BitWriter()
+            _enc_ac_first_scan(bw, blocks, ss, se, 1, ac)
+            bw.flush()
+            prog3 += _jpeg_seg(
+                0xDA, bytes([1, comp_sel, tt, ss, se, 0x01])
+            ) + bytes(bw.out)
+    # DC refine, interleaved
+    bw = _BitWriter()
+    for cid, zz in mcu_iter():
+        bw.write(int(zz[0]) & 1, 1)
+    bw.flush()
+    prog3 += _jpeg_seg(
+        0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, 0x10])
+    ) + bytes(bw.out)
+    # AC refine scans
+    for comp_sel, blocks, ac, bands in (
+        (1, y_own, flat_ac, ((1, 5), (6, 63))),
+        (2, cb, flat_ac, ((1, 63),)),
+        (3, cr, flat_ac, ((1, 63),)),
+    ):
+        tt = 0x00 if comp_sel == 1 else 0x11
+        for ss, se in bands:
+            bw = _BitWriter()
+            _enc_ac_refine_scan(bw, blocks, ss, se, 0, ac)
+            bw.flush()
+            prog3 += _jpeg_seg(
+                0xDA, bytes([1, comp_sel, tt, ss, se, 0x10])
+            ) + bytes(bw.out)
+    prog3 += b"\xff\xd9"
+
+    wb, hb, rgb_base3 = decode_jpeg(bytes(base3))
+    wp, hp, rgb_prog3 = decode_jpeg(bytes(prog3))
+    assert (wb, hb) == (24, 16) == (wp, hp)
+    assert (rgb_base3 == rgb_prog3).all()
 
 
 def test_simhash_fold_chunk_boundary(spark):

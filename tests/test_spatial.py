@@ -216,9 +216,11 @@ def test_tile_pyramid_hierarchy(spark):
 
 
 def test_knn_query_dataframe_and_scale(spark):
-    """knn_join accepts a query DataFrame (qid, lon, lat) with identical
-    results to the list form, and a 10^4-query batch completes without a
-    driver stall (vectorized chunked tile selection)."""
+    """knn_join's DataFrame query path is fully distributed: identical
+    results to the list form, tile selection runs inside mapInPandas
+    over the query partitions (visible in the plan), and a 10^5-query
+    DataFrame built from spark.range — never materialized on the
+    driver — completes with exactly k rows per query."""
     import time
 
     import numpy as np
@@ -238,20 +240,26 @@ def test_knn_query_dataframe_and_scale(spark):
         for r in knn_join(pts, qlist, k=3).collect()
     )
     qdf = spark.createDataFrame(qlist, "qid long, lon double, lat double")
-    b = sorted(
-        (r["qid"], r["rank"], r["neighbor_id"])
-        for r in knn_join(pts, qdf, k=3).collect()
-    )
+    out_df = knn_join(pts, qdf, k=3)
+    # executor-side selection: the query set feeds a MapInPandas stage,
+    # not a driver collect
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    b = sorted((r["qid"], r["rank"], r["neighbor_id"]) for r in out_df.collect())
     assert a == b and len(a) == 40 * 3
 
-    big = [(i, float(rng.uniform(0, 10)), float(rng.uniform(0, 10))) for i in range(10_000)]
+    # 10^5 queries generated ON THE EXECUTORS — the query set never
+    # exists driver-side, which is the point of the DataFrame path
+    big = spark.range(0, 100_000, 1, 16).select(
+        F.col("id").alias("qid"),
+        ((F.col("id") % 997) * 0.01003).alias("lon"),
+        ((F.col("id") % 883) * 0.01102).alias("lat"),
+    )
     t0 = time.time()
-    out = knn_join(pts, big, k=3)
-    cnt = out.count()
-    assert cnt == 10_000 * 3
-    # vectorized selection runs this in ~15s; generous cap so co-tenant
-    # load spikes can't flake the suite while still catching a per-query
-    # Python-loop regression (which took minutes)
+    cnt = knn_join(pts, big, k=3).count()
+    assert cnt == 100_000 * 3
+    # generous cap so co-tenant load spikes can't flake the suite while
+    # still catching a per-query Python-loop regression (minutes)
     assert time.time() - t0 < 300
 
 

@@ -205,6 +205,48 @@ def test_signature_index_fresh_checkpoint_existing_index(spark, tmp_path):
     assert diff == 0
 
 
+def test_signature_index_crashed_epoch_marker_pruned(spark, tmp_path):
+    """A marker from an epoch that crashed BEFORE its data write commits
+    claims a version that never commits. Once retention passes that
+    version, the marker must be pruned too — otherwise _epochs/ leaks
+    entries and max(claims) permanently advances the version counter."""
+    import os
+
+    from osm_pbf2json_spark.streaming.index_maintain import (
+        _claimed_versions,
+        maintain_signature_index,
+        read_signature_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
+    idx = str(tmp_path / "idx")
+    # fake crashed epoch: claims v=0, never writes v=0 data
+    os.makedirs(idx + "/_epochs")
+    with open(idx + "/_epochs/epoch-deadbeef0000-0", "w") as f:
+        f.write("0")
+
+    for i, src in enumerate(("src_a", "src_b", "src_c")):
+        p = str(tmp_path / src)
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            p, mode="overwrite"
+        )
+        q = maintain_signature_index(
+            docs.sparkSession.readStream.schema(docs.schema).parquet(p),
+            idx,
+            str(tmp_path / f"ck{i}"),
+            keep_versions=2,
+        )
+        q.awaitTermination(120)
+
+    # the 3 real epochs allocated v=1..3 (crashed claim advanced the
+    # counter once — acceptable); retention keeps v=2,3 and the orphan
+    # marker for never-committed v=0 is gone
+    claims = _claimed_versions(idx)
+    assert "epoch-deadbeef0000-0" not in claims
+    assert all(v >= 2 for v in claims.values()), claims
+    assert read_signature_index(spark, idx).count() == 30
+
+
 def test_pbf_unsupported_compression_raises(tmp_path):
     """A Blob carrying an lzma/lz4/zstd payload raises instead of being
     silently skipped (silent entity loss on files from other writers)."""
