@@ -130,6 +130,53 @@ def hex_covering_bbox(
     return np.unique(hex_cell(gx.ravel(), gy.ravel(), res))
 
 
+def hex_covering_bbox_batch(
+    xmin, ymin, xmax, ymax, res: int, max_cells: int = 2_000_000
+) -> list[np.ndarray]:
+    """Batched hex_covering_bbox over B bboxes: identical sample-point
+    arithmetic (start + k*step, the np.arange fill rule) and per-bbox
+    guard, but ONE hex_cell call for every sample point of every bbox
+    and per-bbox unique via one lexsort — no per-bbox Python in the
+    sweep. Returns one sorted cell array per input bbox."""
+    size = float(hex_size(res))
+    sy, sx = 1.5 * size, _SQRT3 * size / 2.0
+    xmin = np.asarray(xmin, np.float64)
+    ymin = np.asarray(ymin, np.float64)
+    xmax = np.asarray(xmax, np.float64)
+    ymax = np.asarray(ymax, np.float64)
+    n_est = ((ymax - ymin) / sy + 4) * ((xmax - xmin) / sx + 4)
+    if np.any(n_est > max_cells):
+        b = int(np.argmax(n_est))
+        raise ValueError(
+            f"hex covering of bbox ({xmin[b]},{ymin[b]})-({xmax[b]},{ymax[b]}) "
+            f"at res {res} needs ~{int(n_est[b])} cells (> {max_cells}); "
+            "coarsen res or fix the geometry"
+        )
+    lat0, lon0 = ymin - 2 * size, xmin - 2 * size
+    # np.arange length rule: ceil((stop - start) / step)
+    nlat = np.ceil(((ymax + 2 * size) - lat0) / sy).astype(np.int64)
+    nlon = np.ceil(((xmax + 2 * size) - lon0) / sx).astype(np.int64)
+    counts = nlat * nlon
+    B = len(counts)
+    total = int(counts.sum())
+    bbox_of = np.repeat(np.arange(B), counts)
+    offs = np.concatenate([[0], np.cumsum(counts[:-1])])
+    within = np.arange(total) - np.repeat(offs, counts)
+    nlon_rep = np.repeat(nlon, counts)
+    glat = np.repeat(lat0, counts) + (within // nlon_rep) * sy
+    glon = np.repeat(lon0, counts) + (within % nlon_rep) * sx
+    cells = hex_cell(glon, glat, res)
+    order = np.lexsort((cells, bbox_of))
+    cs, bs = cells[order], bbox_of[order]
+    keep = np.concatenate([[True], (cs[1:] != cs[:-1]) | (bs[1:] != bs[:-1])])
+    cs, bs = cs[keep], bs[keep]
+    cuts = np.flatnonzero(np.concatenate([[True], bs[1:] != bs[:-1]]))
+    outs: list[np.ndarray] = [np.array([], np.int64)] * B
+    for b, piece in zip(bs[cuts], np.split(cs, cuts[1:])):
+        outs[int(b)] = piece
+    return outs
+
+
 # --- Hilbert quad cells ("s2-style") -----------------------------------------
 
 MAX_LEVEL = 29
@@ -222,6 +269,45 @@ def quad_covering_bbox(
             return (np.int64(level) << np.int64(58)) | d
         level -= 1
     return np.array([np.int64(0)], dtype=np.int64)
+
+
+def quad_covering_bbox_batch(
+    xmin, ymin, xmax, ymax, level: int
+) -> list[np.ndarray]:
+    """Batched EXACT-LEVEL quad covering (the assign_tiles path — no
+    adaptive coarsening, which is inherently per-bbox): identical
+    index-range arithmetic to quad_covering_bbox(max_cells=None), one
+    _hilbert_d call over every cell of every bbox, original raveled
+    (j-outer, i-inner) order preserved per bbox."""
+    n = 1 << level
+    sx = (_WORLD[2] - _WORLD[0]) / n
+    sy = (_WORLD[3] - _WORLD[1]) / n
+    xmin = np.asarray(xmin, np.float64)
+    ymin = np.asarray(ymin, np.float64)
+    xmax = np.asarray(xmax, np.float64)
+    ymax = np.asarray(ymax, np.float64)
+    i0 = np.maximum(0, ((xmin - _WORLD[0]) / sx).astype(np.int64))
+    i1 = np.minimum(n - 1, ((xmax - _WORLD[0]) / sx).astype(np.int64))
+    j0 = np.maximum(0, ((ymin - _WORLD[1]) / sy).astype(np.int64))
+    j1 = np.minimum(n - 1, ((ymax - _WORLD[1]) / sy).astype(np.int64))
+    counts = (i1 - i0 + 1) * (j1 - j0 + 1)
+    if np.any(counts > 2_000_000):
+        b = int(np.argmax(counts))
+        raise ValueError(
+            f"exact-level quad covering of bbox ({xmin[b]},{ymin[b]})-"
+            f"({xmax[b]},{ymax[b]}) at level {level} needs {counts[b]} "
+            "cells; coarsen the level or fix the geometry"
+        )
+    B = len(counts)
+    total = int(counts.sum())
+    bbox_of = np.repeat(np.arange(B), counts)
+    offs = np.concatenate([[0], np.cumsum(counts[:-1])])
+    within = np.arange(total) - np.repeat(offs, counts)
+    ni = np.repeat(i1 - i0 + 1, counts)
+    ii = np.repeat(i0, counts) + within % ni
+    jj = np.repeat(j0, counts) + within // ni
+    cells = (np.int64(level) << np.int64(58)) | _hilbert_d(level, ii, jj)
+    return [cells[offs[b] : offs[b] + counts[b]] for b in range(B)]
 
 
 # --- distance ----------------------------------------------------------------

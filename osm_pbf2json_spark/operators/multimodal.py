@@ -69,6 +69,10 @@ def sniff_format(payload: bytes) -> str | None:
         return "png"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "mp4"
+    if payload[:3] == b"ID3" or _mp3_header(payload, 0) is not None:
+        return "mp3"
     return None
 
 
@@ -283,6 +287,180 @@ def _audio_features(samples: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
     return f
 
 
+# --- MP4 (ISO BMFF) container metadata ---------------------------------------
+# Real parse of the public ISO/IEC 14496-12 box structure: mvhd duration,
+# tkhd track dimensions, mdhd timescales, stsd codec fourccs and audio
+# sample rate. The SAMPLE decode (H.264/AAC entropy/transform) stays
+# stubbed — codec gap is environmental; the container metadata is not.
+
+
+def _iter_boxes(buf: bytes, pos: int, end: int):
+    """Yield (type, body_start, body_end) for ISO BMFF boxes in buf[pos:end]."""
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", buf, pos)
+        typ = buf[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            (size,) = struct.unpack_from(">Q", buf, pos + 8)
+            body = pos + 16
+        elif size == 0:  # to end of enclosing container
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError(f"bad MP4 box size {size} for {typ!r}")
+        yield typ, body, pos + size
+        pos += size
+
+
+def parse_mp4(payload: bytes) -> dict:
+    """MP4/ISO-BMFF → {duration_ms, width, height, sample_rate, codecs,
+    n_video, n_audio}. Dimensions come from the first video track's
+    tkhd (16.16 fixed), sample rate from the first audio stsd entry."""
+    out = {
+        "duration_ms": None, "width": None, "height": None,
+        "sample_rate": None, "codecs": [], "n_video": 0, "n_audio": 0,
+    }
+    moov = None
+    for typ, b0, b1 in _iter_boxes(payload, 0, len(payload)):
+        if typ == b"moov":
+            moov = (b0, b1)
+            break
+    if moov is None:
+        raise ValueError("MP4 without moov box (or metadata-at-end stream)")
+    for typ, b0, b1 in _iter_boxes(payload, *moov):
+        if typ == b"mvhd":
+            ver = payload[b0]
+            if ver == 1:
+                ts, dur = struct.unpack_from(">IQ", payload, b0 + 20)
+            else:
+                ts, dur = struct.unpack_from(">II", payload, b0 + 12)
+            if ts:
+                out["duration_ms"] = int(round(dur * 1000.0 / ts))
+        elif typ == b"trak":
+            _parse_trak(payload, b0, b1, out)
+    return out
+
+
+def _parse_trak(buf: bytes, pos: int, end: int, out: dict) -> None:
+    tkhd_wh = None
+    handler = None
+    stsd = None
+    for typ, b0, b1 in _iter_boxes(buf, pos, end):
+        if typ == b"tkhd":
+            ver = buf[b0]
+            off = b0 + (88 if ver == 1 else 76)
+            if off + 8 <= b1:
+                w16, h16 = struct.unpack_from(">II", buf, off)
+                tkhd_wh = (w16 >> 16, h16 >> 16)
+        elif typ == b"mdia":
+            for t2, c0, c1 in _iter_boxes(buf, b0, b1):
+                if t2 == b"hdlr":
+                    handler = buf[c0 + 8 : c0 + 12]
+                elif t2 == b"minf":
+                    for t3, d0, d1 in _iter_boxes(buf, c0, c1):
+                        if t3 == b"stbl":
+                            for t4, e0, e1 in _iter_boxes(buf, d0, d1):
+                                if t4 == b"stsd":
+                                    stsd = (e0, e1)
+    codec = None
+    rate = None
+    if stsd is not None:
+        e0, e1 = stsd
+        (n_entries,) = struct.unpack_from(">I", buf, e0 + 4)
+        if n_entries and e0 + 16 <= e1:
+            codec = buf[e0 + 12 : e0 + 16].decode("latin-1")
+            # audio sample entry: samplerate as 16.16 fixed at offset 24
+            # of the entry body (ISO 14496-12 §12.2.3)
+            if handler == b"soun" and e0 + 8 + 28 <= e1:
+                (r16,) = struct.unpack_from(">I", buf, e0 + 8 + 24)
+                rate = r16 >> 16
+    if codec:
+        out["codecs"].append(codec)
+    if handler == b"vide":
+        out["n_video"] += 1
+        if tkhd_wh and out["width"] is None and tkhd_wh[0] and tkhd_wh[1]:
+            out["width"], out["height"] = tkhd_wh
+    elif handler == b"soun":
+        out["n_audio"] += 1
+        if rate and out["sample_rate"] is None:
+            out["sample_rate"] = rate
+
+
+# --- MP3 frame-header metadata ------------------------------------------------
+
+_MP3_BITRATE = {  # kbps, (version_key, layer) -> index table; 0=free, None=bad
+    ("1", 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    ("2", 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+_MP3_RATES = {"1": [44100, 48000, 32000], "2": [22050, 24000, 16000],
+              "25": [11025, 12000, 8000]}
+
+
+def _mp3_header(buf: bytes, pos: int):
+    """Parse one MPEG Layer III frame header at pos → (frame_len,
+    samples, rate) or None if not a valid L3 header."""
+    if pos + 4 > len(buf):
+        return None
+    b0, b1, b2 = buf[pos], buf[pos + 1], buf[pos + 2]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    ver_bits = (b1 >> 3) & 0x3
+    layer_bits = (b1 >> 1) & 0x3
+    if ver_bits == 1 or layer_bits != 1:  # reserved version / not Layer III
+        return None
+    ver = {0: "25", 2: "2", 3: "1"}[ver_bits]
+    br_idx = (b2 >> 4) & 0xF
+    sr_idx = (b2 >> 2) & 0x3
+    padding = (b2 >> 1) & 0x1
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None
+    table = _MP3_BITRATE[("1", 3)] if ver == "1" else _MP3_BITRATE[("2", 3)]
+    bitrate = table[br_idx] * 1000
+    rate = _MP3_RATES[ver][sr_idx]
+    if ver == "1":
+        samples, coef = 1152, 144
+    else:
+        samples, coef = 576, 72
+    frame_len = coef * bitrate // rate + padding
+    return frame_len, samples, rate
+
+
+def parse_mp3(payload: bytes) -> dict:
+    """MP3 → {sample_rate, duration_ms, n_frames} by walking every frame
+    header (exact for CBR and VBR; header arithmetic only — the Layer
+    III sample decode itself stays stubbed). Skips a leading ID3v2 tag
+    (syncsafe size)."""
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        sz = 0
+        for b in payload[6:10]:
+            sz = (sz << 7) | (b & 0x7F)
+        pos = 10 + sz
+    n_frames = 0
+    total_samples = 0
+    rate = None
+    while pos + 4 <= len(payload):
+        h = _mp3_header(payload, pos)
+        if h is None:
+            if n_frames == 0:
+                pos += 1  # resync scan before the first frame only
+                continue
+            break  # trailing tag/garbage after the frame run
+        frame_len, samples, r = h
+        rate = rate or r
+        n_frames += 1
+        total_samples += samples
+        pos += max(frame_len, 4)
+    if n_frames == 0 or rate is None:
+        raise ValueError("no MP3 frames found")
+    return {
+        "sample_rate": rate,
+        "duration_ms": int(round(total_samples * 1000.0 / rate)),
+        "n_frames": n_frames,
+    }
+
+
 def decode_one(payload: bytes, dim: int = FEATURE_DIM):
     """payload → (format, width, height, sample_rate, duration_ms,
     features) for a recognized format, else None."""
@@ -304,6 +482,15 @@ def decode_one(payload: bytes, dim: int = FEATURE_DIM):
     if fmt == "wav":
         rate, dur, samples = decode_wav(payload)
         return fmt, None, None, rate, dur, _audio_features(samples, dim)
+    if fmt == "mp4":
+        m = parse_mp4(payload)
+        # REAL container metadata; content features need the stubbed
+        # codec-level sample decode → empty feature vector (callers
+        # route empty-features rows to the fake/stub path)
+        return fmt, m["width"], m["height"], m["sample_rate"], m["duration_ms"], np.zeros(0, np.float32)
+    if fmt == "mp3":
+        m = parse_mp3(payload)
+        return fmt, None, None, m["sample_rate"], m["duration_ms"], np.zeros(0, np.float32)
     return None
 
 
@@ -371,6 +558,10 @@ def decode_features(
                 except (NotImplementedError, ValueError, KeyError,
                         IndexError, struct.error):
                     d = None  # unsupported/corrupt payload → stub routing
+                if d is not None and len(d[5]) == 0:
+                    # container parsed (mp3/mp4 metadata is real) but the
+                    # codec-level sample decode is the stubbed part
+                    d = None
                 if d is not None:
                     feats.append(d[5].tolist())
                 elif fake:

@@ -27,7 +27,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
-from ..functions.geometry import compound_coordinates
 from .closure import _pin
 
 COORD_ARR = "array<struct<lon:double,lat:double>>"
@@ -140,7 +139,9 @@ def resolve_relation_coords(
         n_levels += 1
     levels_df = _pin(levels_df)
 
-    hull_udf = F.pandas_udf(_hull_series, COORD_ARR)
+    hull_udf = F.pandas_udf(
+        _hull_batch, "struct<lons:array<double>,lats:array<double>>"
+    )
 
     resolved: DataFrame | None = None
     for level in range(n_levels):
@@ -171,7 +172,16 @@ def resolve_relation_coords(
             )
             .select(
                 "id",
-                hull_udf(F.col("flat.lon"), F.col("flat.lat")).alias("coords"),
+                hull_udf(F.col("flat.lon"), F.col("flat.lat")).alias("h"),
+            )
+            .select(
+                "id",
+                F.transform(
+                    F.arrays_zip(F.col("h.lons"), F.col("h.lats")),
+                    lambda p: F.struct(
+                        p["lons"].alias("lon"), p["lats"].alias("lat")
+                    ),
+                ).alias("coords"),
             )
         )
         resolved = _pin(lvl if resolved is None else resolved.unionByName(lvl))
@@ -181,19 +191,77 @@ def resolve_relation_coords(
     return resolved
 
 
-def _hull_series(lons: pd.Series, lats: pd.Series) -> pd.Series:
-    """Arrow-batched hull: one hull per relation's flattened member
-    coords. Input arrives as two parallel double arrays (extracted from
-    the struct array JVM-side), so marshaling is a zero-copy
-    np.column_stack — no per-point dict access; only the hull's own
-    monotone chain is per-row."""
-    out = []
-    for lo, la in zip(lons, lats):
-        if lo is None or len(lo) == 0:
-            out.append([])
-            continue
-        pts = np.column_stack(
-            [np.asarray(lo, np.float64), np.asarray(la, np.float64)]
+def _hull_chain(xs: list, ys: list) -> tuple[list, list]:
+    """Andrew monotone chain over lexicographically sorted, deduped
+    points — same stack rule, cross-product sign, and output ordering
+    as functions.geometry.convex_hull (geo 0.14 shape), operating on
+    plain Python floats (identical IEEE doubles)."""
+
+    def half(idx_iter):
+        out: list[int] = []
+        for i in idx_iter:
+            while len(out) >= 2:
+                o, a = out[-2], out[-1]
+                if (xs[a] - xs[o]) * (ys[i] - ys[o]) - (ys[a] - ys[o]) * (
+                    xs[i] - xs[o]
+                ) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(i)
+        return out
+
+    lower = half(range(len(xs)))
+    upper = half(range(len(xs) - 1, -1, -1))
+    idx = lower[:-1] + upper[:-1] + [lower[0]]
+    return [xs[i] for i in idx], [ys[i] for i in idx]
+
+
+def _hull_batch(lons: pd.Series, lats: pd.Series) -> pd.DataFrame:
+    """Arrow-batched hulls, offsets-based: ONE lexsort keyed
+    (row, x, y) + one consecutive-dedup mask over every relation's
+    flattened points replace the per-row sort/dedup/allocation; only
+    the monotone-chain stack scan itself remains sequential (it is
+    inherently a stack algorithm). Output is parallel lons/lats arrays
+    — the public coords struct array is re-zipped JVM-side, so Python
+    never builds per-point dicts. Trivial-hull shapes (0/1 point; 2-3
+    points keep INPUT order, closed) match convex_hull exactly."""
+    R = len(lons)
+    counts = np.fromiter(
+        (0 if lo is None else len(lo) for lo in lons), np.int64, R
+    )
+    out_x: list = [[]] * R
+    out_y: list = [[]] * R
+    for i in np.flatnonzero((counts > 0) & (counts < 4)).tolist():
+        lo = np.asarray(lons.iloc[i], np.float64)
+        la = np.asarray(lats.iloc[i], np.float64)
+        if len(lo) == 1:
+            out_x[i], out_y[i] = lo, la
+        else:
+            out_x[i] = np.concatenate([lo, lo[:1]])
+            out_y[i] = np.concatenate([la, la[:1]])
+    big = np.flatnonzero(counts >= 4)
+    if len(big):
+        fx = np.concatenate([np.asarray(lons.iloc[i], np.float64) for i in big])
+        fy = np.concatenate([np.asarray(lats.iloc[i], np.float64) for i in big])
+        row_of = np.repeat(np.arange(len(big)), counts[big])
+        order = np.lexsort((fy, fx, row_of))
+        sx, sy, sr = fx[order], fy[order], row_of[order]
+        keep = np.concatenate(
+            [[True], (sr[1:] != sr[:-1]) | (sx[1:] != sx[:-1]) | (sy[1:] != sy[:-1])]
         )
-        out.append([{"lon": x, "lat": y} for x, y in compound_coordinates(pts)])
-    return pd.Series(out)
+        sx, sy, sr = sx[keep], sy[keep], sr[keep]
+        cuts = np.flatnonzero(np.concatenate([[True], sr[1:] != sr[:-1]]))
+        ends = np.concatenate([cuts[1:], [len(sr)]])
+        for s0, s1 in zip(cuts.tolist(), ends.tolist()):
+            i = int(big[int(sr[s0])])
+            xs = sx[s0:s1].tolist()
+            ys = sy[s0:s1].tolist()
+            if len(xs) == 1:
+                out_x[i], out_y[i] = xs, ys
+            elif len(xs) == 2:
+                out_x[i] = [xs[0], xs[1], xs[0]]
+                out_y[i] = [ys[0], ys[1], ys[0]]
+            else:
+                out_x[i], out_y[i] = _hull_chain(xs, ys)
+    return pd.DataFrame({"lons": out_x, "lats": out_y})

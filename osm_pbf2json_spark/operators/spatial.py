@@ -397,15 +397,15 @@ def assign_tiles(
             xmax = np.maximum.reduceat(x, starts)
             ymin = np.minimum.reduceat(y, starts)
             ymax = np.maximum.reduceat(y, starts)
-            for j, (i, _, _) in enumerate(multi):
-                if grid == "hex":
-                    cells = T.hex_covering_bbox(xmin[j], ymin[j], xmax[j], ymax[j], res)
-                else:
-                    # exact-level covering: tile ids embed the level, and
-                    # the inverse/point joins assume one shared level
-                    cells = T.quad_covering_bbox(
-                        xmin[j], ymin[j], xmax[j], ymax[j], res, max_cells=None
-                    )
+            # batched sweep: one cell-encode call over every sample
+            # point / index range of every bbox (exact-level quad — tile
+            # ids embed the level, the inverse/point joins assume one
+            # shared level); no per-bbox kernel invocations
+            if grid == "hex":
+                per_bbox = T.hex_covering_bbox_batch(xmin, ymin, xmax, ymax, res)
+            else:
+                per_bbox = T.quad_covering_bbox_batch(xmin, ymin, xmax, ymax, res)
+            for (i, _, _), cells in zip(multi, per_bbox):
                 out[i] = cells.tolist()
         return pd.Series(out)
 

@@ -127,6 +127,9 @@ def _union_find_clusters(swx, swy, nex, ney) -> np.ndarray:
 
 
 def _street_row(name: str, boundary, seg_rows: list[dict]) -> dict:
+    """Assemble one street row in the RAW (lons/lats parallel-array)
+    segment layout — the public coords struct array is reassembled
+    JVM-side by _segments_to_coords, never in Python."""
     seg_rows = sorted(seg_rows, key=lambda s: s["way_id"])
     street_id = 0
     for s in seg_rows:
@@ -144,7 +147,8 @@ def _street_row(name: str, boundary, seg_rows: list[dict]) -> dict:
         "segments": [
             {
                 "way_id": int(s["way_id"]),
-                "coords": [{"lon": float(x), "lat": float(y)} for x, y in s["xy"]],
+                "lons": s["xy"][:, 0],
+                "lats": s["xy"][:, 1],
             }
             for s in seg_rows
         ],
@@ -248,6 +252,35 @@ _STREET_RAW_SCHEMA = (
 )
 
 
+def _segments_to_raw(col: str = "segments"):
+    """JVM-side: public coords struct array → parallel lons/lats double
+    arrays (the Arrow-primitive-buffer layout every Python kernel
+    consumes — no per-point structs cross the language boundary)."""
+    return F.transform(
+        col,
+        lambda s: F.struct(
+            s["way_id"].alias("way_id"),
+            F.transform(s["coords"], lambda c: c["lon"]).alias("lons"),
+            F.transform(s["coords"], lambda c: c["lat"]).alias("lats"),
+        ),
+    )
+
+
+def _segments_to_coords(col: str = "segments"):
+    """JVM-side inverse of _segments_to_raw: arrays_zip the parallel
+    buffers back into the public coords struct array."""
+    return F.transform(
+        col,
+        lambda s: F.struct(
+            s["way_id"].alias("way_id"),
+            F.transform(
+                F.arrays_zip(s["lons"], s["lats"]),
+                lambda p: F.struct(p["lons"].alias("lon"), p["lats"].alias("lat")),
+            ).alias("coords"),
+        ),
+    )
+
+
 def extract_streets(ways_filtered: DataFrame, nodes: DataFrame) -> DataFrame:
     """F5-filtered ways + nodes → street rows (one per component).
 
@@ -268,21 +301,7 @@ def extract_streets(ways_filtered: DataFrame, nodes: DataFrame) -> DataFrame:
         "way_id",
     )
     raw = seg_input.groupBy("name").applyInPandas(_cluster_group, _STREET_RAW_SCHEMA)
-    return raw.withColumn(
-        "segments",
-        F.transform(
-            "segments",
-            lambda s: F.struct(
-                s["way_id"].alias("way_id"),
-                F.transform(
-                    F.arrays_zip(s["lons"], s["lats"]),
-                    lambda p: F.struct(
-                        p["lons"].alias("lon"), p["lats"].alias("lat")
-                    ),
-                ).alias("coords"),
-            ),
-        ),
-    )
+    return raw.withColumn("segments", _segments_to_coords())
 
 
 def _parse_boundaries(boundary_rows: list[dict]):
@@ -322,12 +341,18 @@ def _split_batch(pdf: pd.DataFrame, bnds, polys, bb, cand_lists=None) -> list[di
         return []
     streets_parsed = []  # (row_dict, segs, bbox)
     for r in pdf.to_dict("records"):
+        # segments arrive as parallel lons/lats primitive arrays
+        # (extracted JVM-side by _segments_to_raw) — same layout as
+        # _cluster_group; no per-coordinate Python anywhere
         segs = [
             {
                 "way_id": s["way_id"],
-                "xy": np.array(
-                    [(c["lon"], c["lat"]) for c in s["coords"]], np.float64
-                ).reshape(-1, 2),
+                "xy": np.column_stack(
+                    [
+                        np.asarray(s["lons"], np.float64),
+                        np.asarray(s["lats"], np.float64),
+                    ]
+                ),
             }
             for s in r["segments"]
         ]
@@ -440,6 +465,19 @@ def _split_streets_factory(boundary_rows: list[dict]):
     return split
 
 
+def split_streets_broadcast(
+    streets_df: DataFrame, boundary_rows: list[dict]
+) -> DataFrame:
+    """Boundary split against a driver-collected (broadcastable)
+    boundary list: raw-layout conversion + the mapInPandas J3→J7
+    kernel + conversion back to the public coords layout."""
+    return (
+        streets_df.withColumn("segments", _segments_to_raw())
+        .mapInPandas(_split_streets_factory(boundary_rows), _STREET_RAW_SCHEMA)
+        .withColumn("segments", _segments_to_coords())
+    )
+
+
 def split_streets_by_cells(
     streets_df: DataFrame,
     boundaries_df: DataFrame,
@@ -481,15 +519,18 @@ def split_streets_by_cells(
 
     gcell = group_cell if group_cell is not None else 4.0 * cell
 
-    lons = F.flatten(
-        F.transform("segments", lambda s: F.transform(s["coords"], lambda c: c["lon"]))
+    # segments ride the whole pipeline in the raw parallel-array layout
+    # (one JVM-side conversion here, inverse at the end) so the cogroup
+    # kernel reads Arrow primitive buffers, not per-point structs
+    lons = F.flatten(F.transform("segments", lambda s: s["lons"]))
+    lats = F.flatten(F.transform("segments", lambda s: s["lats"]))
+    st = (
+        streets_df.withColumn("segments", _segments_to_raw())
+        .withColumn("_sx0", F.array_min(lons))
+        .withColumn("_sx1", F.array_max(lons))
+        .withColumn("_sy0", F.array_min(lats))
+        .withColumn("_sy1", F.array_max(lats))
     )
-    lats = F.flatten(
-        F.transform("segments", lambda s: F.transform(s["coords"], lambda c: c["lat"]))
-    )
-    st = streets_df.withColumn("_sx0", F.array_min(lons)).withColumn(
-        "_sx1", F.array_max(lons)
-    ).withColumn("_sy0", F.array_min(lats)).withColumn("_sy1", F.array_max(lats))
 
     # phase 1: light cell join — NO polygons on either side
     st_cells = st.select(
@@ -567,9 +608,11 @@ def split_streets_by_cells(
     split_out = (
         with_cand.groupBy("_ocx", "_ocy")
         .cogroup(bundles.groupBy("_bcx", "_bcy"))
-        .applyInPandas(split, STREET_SCHEMA)
+        .applyInPandas(split, _STREET_RAW_SCHEMA)
     )
-    return split_out.unionByName(no_cand)
+    return split_out.unionByName(no_cand).withColumn(
+        "segments", _segments_to_coords()
+    )
 
 
 def streets(
@@ -600,7 +643,7 @@ def streets(
     bdf = boundaries_from_closure(admin_closed).localCheckpoint(eager=True)
     if bdf.count() <= max_broadcast_boundaries:
         brows = [r.asDict(recursive=True) for r in bdf.collect()]
-        split = result.mapInPandas(_split_streets_factory(brows), STREET_SCHEMA)
+        split = split_streets_broadcast(result, brows)
     else:
         split = split_streets_by_cells(result, bdf)
     return split.orderBy("name", "boundary", "id")

@@ -1679,3 +1679,99 @@ def test_jpeg_restart_markers_and_dc_reset():
     assert (w, h) == (16, 8)
     assert (rgb[:, :8] == 140).all()
     assert (rgb[:, 8:] == 120).all()
+
+
+def _mp4_box(typ: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + typ + body
+
+
+def _build_test_mp4() -> bytes:
+    """Minimal ISO-BMFF: mvhd (timescale 1000, duration 5500), one video
+    trak (tkhd 640x360 16.16-fixed, hdlr vide, stsd avc1) and one audio
+    trak (hdlr soun, stsd mp4a with 44100 Hz 16.16-fixed sample rate)."""
+    ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mvhd = _mp4_box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + b"\x00" * 8 + struct.pack(">II", 1000, 5500)
+        + b"\x00" * 80,
+    )
+    tkhd_v = _mp4_box(
+        b"tkhd",
+        b"\x00\x00\x00\x0f" + b"\x00" * 72
+        + struct.pack(">II", 640 << 16, 360 << 16),
+    )
+    hdlr_v = _mp4_box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+    entry_v = struct.pack(">I", 86) + b"avc1" + b"\x00" * 78
+    stsd_v = _mp4_box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + entry_v)
+    mdia_v = _mp4_box(
+        b"mdia", hdlr_v + _mp4_box(b"minf", _mp4_box(b"stbl", stsd_v))
+    )
+    trak_v = _mp4_box(b"trak", tkhd_v + mdia_v)
+    tkhd_a = _mp4_box(b"tkhd", b"\x00" * 84)
+    hdlr_a = _mp4_box(b"hdlr", b"\x00" * 8 + b"soun" + b"\x00" * 12)
+    entry_a = (
+        struct.pack(">I", 32) + b"mp4a" + b"\x00" * 16
+        + struct.pack(">I", 44100 << 16) + b"\x00" * 4
+    )
+    stsd_a = _mp4_box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + entry_a)
+    mdia_a = _mp4_box(
+        b"mdia", hdlr_a + _mp4_box(b"minf", _mp4_box(b"stbl", stsd_a))
+    )
+    trak_a = _mp4_box(b"trak", tkhd_a + mdia_a)
+    moov = _mp4_box(b"moov", mvhd + trak_v + trak_a)
+    return ftyp + moov + _mp4_box(b"mdat", b"\x00" * 16)
+
+
+def _build_test_mp3(n_frames: int = 10, id3: bool = False) -> bytes:
+    """MPEG-1 Layer III, 128 kbps, 44100 Hz, no padding: frame length
+    144*128000//44100 = 417 bytes; 1152 samples/frame."""
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])
+    frame = hdr + b"\x00" * (417 - 4)
+    tag = b""
+    if id3:
+        tag = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 100]) + b"\x00" * 100
+    return tag + frame * n_frames
+
+
+def test_mp4_mp3_container_metadata(spark):
+    """MP4/MP3 container metadata is decoded for REAL (box walk / frame
+    header walk — public ISO 14496-12 and MPEG frame layouts); only the
+    codec-level sample decode stays stubbed, so decode_media reports
+    true dimensions/duration/sample-rate with empty features, and
+    decode_features still routes these to the fake/stub path."""
+    from osm_pbf2json_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_features,
+        decode_media,
+        parse_mp3,
+        parse_mp4,
+        sniff_format,
+    )
+
+    mp4 = _build_test_mp4()
+    assert sniff_format(mp4) == "mp4"
+    m = parse_mp4(mp4)
+    assert m["duration_ms"] == 5500
+    assert (m["width"], m["height"]) == (640, 360)
+    assert m["sample_rate"] == 44100
+    assert m["codecs"] == ["avc1", "mp4a"]
+    assert (m["n_video"], m["n_audio"]) == (1, 1)
+
+    mp3 = _build_test_mp3(10)
+    assert sniff_format(mp3) == "mp3"
+    a = parse_mp3(mp3)
+    assert a["sample_rate"] == 44100 and a["n_frames"] == 10
+    assert a["duration_ms"] == round(10 * 1152 * 1000 / 44100)
+    a2 = parse_mp3(_build_test_mp3(7, id3=True))
+    assert a2["n_frames"] == 7
+
+    media = spark.createDataFrame(
+        [(1, "video", mp4, None), (2, "audio", mp3, None)], MEDIA_SCHEMA
+    )
+    rows = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert rows[1]["format"] == "mp4" and rows[1]["width"] == 640
+    assert rows[1]["duration_ms"] == 5500
+    assert rows[2]["format"] == "mp3" and rows[2]["sample_rate"] == 44100
+    assert rows[1]["features"] == [] and rows[2]["features"] == []
+    f = {r["media_id"]: r for r in decode_features(media, fake=True).collect()}
+    assert len(f[1]["features"]) == 16 and len(f[2]["features"]) == 16

@@ -95,3 +95,72 @@ def test_points_in_polygons_translation_invariant(pt, dx, dy):
     base = points_in_polygons(p, [[square]])[0]
     shifted = points_in_polygons(p + [dx, dy], [[square + [dx, dy]]])[0]
     assert base == shifted
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_hull_batch_matches_convex_hull(data):
+    """_hull_batch (offsets-based batched lexsort + chain) is exactly
+    convex_hull applied per row — including trivial shapes (0/1 pt,
+    2-3 pts input-order closed), duplicate points, and collinear runs."""
+    import pandas as pd
+
+    from osm_pbf2json_spark.functions.geometry import convex_hull
+    from osm_pbf2json_spark.operators.resolve import _hull_batch
+
+    rows = data.draw(
+        st.lists(
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=-5, max_value=5),
+                    st.integers(min_value=-5, max_value=5),
+                ),
+                min_size=0,
+                max_size=20,
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    lons = pd.Series([np.array([float(x) for x, _ in r]) for r in rows])
+    lats = pd.Series([np.array([float(y) for _, y in r]) for r in rows])
+    out = _hull_batch(lons, lats)
+    for i, r in enumerate(rows):
+        want = convex_hull(np.array(r, np.float64).reshape(-1, 2))
+        got = np.column_stack(
+            [np.asarray(out["lons"][i], np.float64), np.asarray(out["lats"][i], np.float64)]
+        ) if len(out["lons"][i]) else np.empty((0, 2))
+        assert got.shape == want.reshape(-1, 2).shape, (i, got, want)
+        assert (got == want.reshape(-1, 2)).all(), (i, got, want)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_covering_bbox_batch_matches_scalar(data):
+    """hex/quad batched bbox coverings are element-exact vs the scalar
+    kernels for every bbox in the batch."""
+    from osm_pbf2json_spark.functions import tiles as T
+
+    boxes = data.draw(
+        st.lists(
+            st.tuples(
+                st.floats(min_value=-50, max_value=50),
+                st.floats(min_value=-50, max_value=50),
+                st.floats(min_value=0, max_value=3),
+                st.floats(min_value=0, max_value=3),
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    xmin = np.array([b[0] for b in boxes])
+    ymin = np.array([b[1] for b in boxes])
+    xmax = xmin + np.array([b[2] for b in boxes])
+    ymax = ymin + np.array([b[3] for b in boxes])
+    hb = T.hex_covering_bbox_batch(xmin, ymin, xmax, ymax, 7)
+    qb = T.quad_covering_bbox_batch(xmin, ymin, xmax, ymax, 10)
+    for j in range(len(boxes)):
+        hw = T.hex_covering_bbox(xmin[j], ymin[j], xmax[j], ymax[j], 7)
+        qw = T.quad_covering_bbox(xmin[j], ymin[j], xmax[j], ymax[j], 10, max_cells=None)
+        assert (hb[j] == hw).all(), j
+        assert (qb[j] == qw).all(), j

@@ -115,7 +115,7 @@ def test_split_streets_by_cells_scale_parity(spark):
 
     from osm_pbf2json_spark.operators.streets import (
         STREET_SCHEMA,
-        _split_streets_factory,
+        split_streets_broadcast,
         split_streets_by_cells,
     )
 
@@ -157,8 +157,9 @@ def test_split_streets_by_cells_scale_parity(spark):
     sdf = spark.createDataFrame(srows, STREET_SCHEMA).repartition(8)
 
     dist = split_streets_by_cells(sdf, bdf)
-    bcast = sdf.mapInPandas(
-        _split_streets_factory([
+    bcast = split_streets_broadcast(
+        sdf,
+        [
             {
                 "relation_id": r[0], "name": r[1], "admin_level": r[2],
                 "sw_lon": r[3], "sw_lat": r[4], "ne_lon": r[5], "ne_lat": r[6],
@@ -166,8 +167,7 @@ def test_split_streets_by_cells_scale_parity(spark):
                               for ring in poly] for poly in r[7]],
             }
             for r in brows
-        ]),
-        STREET_SCHEMA,
+        ],
     )
     got = sorted((r["id"], r["name"], r["boundary"]) for r in dist.collect())
     want = sorted((r["id"], r["name"], r["boundary"]) for r in bcast.collect())
