@@ -35,11 +35,12 @@ import pyspark.sql.functions as F
 
 from ..functions.filter_dsl import build_admin_groups, build_street_groups, compile_groups
 from ..functions.geometry import (
+    _edges,
     bbox_diag_length,
     line_centroid,
-    linestring_intersects_polygon,
     midpoint,
     points_in_polygons,
+    segments_intersect,
 )
 from .boundaries import boundaries_from_closure
 from .closure import EntityTables, closure
@@ -127,9 +128,11 @@ def _union_find_clusters(swx, swy, nex, ney) -> np.ndarray:
 
 
 def _street_row(name: str, boundary, seg_rows: list[dict]) -> dict:
-    """Assemble one street row in the RAW (lons/lats parallel-array)
-    segment layout — the public coords struct array is reassembled
-    JVM-side by _segments_to_coords, never in Python."""
+    """SCALAR REFERENCE street-row assembly (A3 xor id, A4 bbox-diag
+    length, A5 midpoint), raw lons/lats segment layout. The hot path is
+    the batched reduceat formulation inside _split_batch /
+    _cluster_group; this per-row version is kept as the oracle for the
+    randomized split parity test (test_streets.py)."""
     seg_rows = sorted(seg_rows, key=lambda s: s["way_id"])
     street_id = 0
     for s in seg_rows:
@@ -326,43 +329,74 @@ def _parse_boundaries(boundary_rows: list[dict]):
 def _split_batch(pdf: pd.DataFrame, bnds, polys, bb, cand_lists=None) -> list[dict]:
     """Vectorized J3→J7 boundary split of one Arrow batch of street rows.
 
-    Batch shape (not per-row Python):
-    - J3 AABB probe: one streets×boundaries numpy broadcast over the whole
-      batch (or a pre-restricted `cand_lists` from the cell join);
-    - J4 exact refine only on pairs that survive J3;
-    - J5 ownership: ONE points_in_polygons call per boundary present in
-      the batch, over all still-unowned segment centroids eligible for it
-      (global sorted order == per-street candidate order, so "first match
-      wins" is preserved);
-    - J7 fallback: first candidate in deterministic order.
+    Fully offsets-based: the batch's segments flatten into global
+    lon/lat point buffers in ONE pass (array refs + one concatenate —
+    segments arrive as parallel primitive arrays via _segments_to_raw);
+    every later stage works on those buffers, per-row Python never
+    touches coordinates:
+
+    - J3 AABB probe: per-street bboxes by reduceat; one
+      streets×boundaries broadcast (or the cell join's pre-candidates);
+    - J4 exact refine per BOUNDARY: one segments_intersect call over
+      the candidate streets' within-seg edges × the boundary's ring
+      edges, one points_in_polygons call over segment first points
+      (the containment case);
+    - J5 ownership: per-seg length-weighted line centroids from one
+      masked-edge bincount pass; per boundary (ascending = the
+      deterministic first-match order) one PIP call over still-unowned
+      eligible segs;
+    - J7 fallback: first candidate in deterministic order;
+    - assembly: output groups keyed (street, owner NAME) — same-name
+      boundaries merge, streets.rs:75-78 — with A3 xor id, A4 bbox-diag
+      length, and A5 mean-then-closest midpoint via reduceat over the
+      way_id-sorted flattened buffers, the _cluster_group pattern.
+
+    Row-for-row parity with the scalar reference formulation
+    (linestring_intersects_polygon + per-seg line_centroid +
+    _street_row) is pinned by test_split_batch_matches_scalar_reference.
     """
     n = len(pdf)
     if n == 0:
         return []
-    streets_parsed = []  # (row_dict, segs, bbox)
-    for r in pdf.to_dict("records"):
-        # segments arrive as parallel lons/lats primitive arrays
-        # (extracted JVM-side by _segments_to_raw) — same layout as
-        # _cluster_group; no per-coordinate Python anywhere
-        segs = [
-            {
-                "way_id": s["way_id"],
-                "xy": np.column_stack(
-                    [
-                        np.asarray(s["lons"], np.float64),
-                        np.asarray(s["lats"], np.float64),
-                    ]
-                ),
-            }
-            for s in r["segments"]
-        ]
-        pts = np.vstack([s["xy"] for s in segs])
-        streets_parsed.append(
-            (r, segs, (pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max()))
-        )
+    recs = pdf.to_dict("records")
+    seg_lons: list[np.ndarray] = []
+    seg_lats: list[np.ndarray] = []
+    seg_ways: list[int] = []
+    st_seg_cnt = np.empty(n, np.int64)
+    for i, r in enumerate(recs):
+        ss = r["segments"]
+        st_seg_cnt[i] = len(ss)
+        for s in ss:
+            seg_ways.append(s["way_id"])
+            seg_lons.append(np.asarray(s["lons"], np.float64))
+            seg_lats.append(np.asarray(s["lats"], np.float64))
+    S = len(seg_ways)
+    seg_way = np.array(seg_ways, np.int64)
+    seg_npts = np.fromiter((len(a) for a in seg_lons), np.int64, S)
+    fx = np.concatenate(seg_lons) if S else np.zeros(0)
+    fy = np.concatenate(seg_lats) if S else np.zeros(0)
+    pt_off = np.concatenate([[0], np.cumsum(seg_npts)])  # S+1 offsets
+    seg_off0 = np.concatenate([[0], np.cumsum(st_seg_cnt)])  # street→segs
+    st_of_seg = np.repeat(np.arange(n), st_seg_cnt)
+    st_npts = np.bincount(st_of_seg, weights=seg_npts, minlength=n).astype(
+        np.int64
+    )
+    st_pt_off = np.concatenate([[0], np.cumsum(st_npts)])
+
+    # per-street bbox; a street with no points gets an empty bbox that
+    # can never satisfy the overlap test
+    sb = np.empty((n, 4))
+    sb[:, 0] = sb[:, 1] = np.inf
+    sb[:, 2] = sb[:, 3] = -np.inf
+    nzst = st_npts > 0
+    if nzst.any():
+        starts = st_pt_off[:-1][nzst]
+        sb[nzst, 0] = np.minimum.reduceat(fx, starts)
+        sb[nzst, 1] = np.minimum.reduceat(fy, starts)
+        sb[nzst, 2] = np.maximum.reduceat(fx, starts)
+        sb[nzst, 3] = np.maximum.reduceat(fy, starts)
 
     nb = len(bnds)
-    sb = np.array([s[2] for s in streets_parsed]).reshape(-1, 4)
     if cand_lists is None:
         if nb:
             hit = (
@@ -388,55 +422,187 @@ def _split_batch(pdf: pd.DataFrame, bnds, polys, bb, cand_lists=None) -> list[di
             for i in range(n)
         ]
 
-    # J4: exact linestring×multipolygon on surviving pairs only
-    cand4 = []
-    for i, (_, segs, _) in enumerate(streets_parsed):
-        cand4.append(
+    # global within-seg edge buffers (street-contiguous by construction)
+    pt_seg = np.repeat(np.arange(S), seg_npts)
+    emask = pt_seg[1:] == pt_seg[:-1] if len(pt_seg) > 1 else np.zeros(0, bool)
+    e_seg = pt_seg[:-1][emask] if len(pt_seg) else np.zeros(0, np.int64)
+    ex0, ey0 = fx[:-1][emask], fy[:-1][emask]
+    ex1, ey1 = fx[1:][emask], fy[1:][emask]
+    st_e_cnt = (
+        np.bincount(st_of_seg[e_seg], minlength=n).astype(np.int64)
+        if len(e_seg)
+        else np.zeros(n, np.int64)
+    )
+    st_e_off = np.concatenate([[0], np.cumsum(st_e_cnt)])
+    # per-seg first points (containment probes; nan for empty segs —
+    # nan never tests inside, matching the scalar skip)
+    if len(fx):
+        fp_idx = np.minimum(pt_off[:-1], len(fx) - 1)
+        head_x = np.where(seg_npts > 0, fx[fp_idx], np.nan)
+        head_y = np.where(seg_npts > 0, fy[fp_idx], np.nan)
+    else:
+        head_x = head_y = np.full(S, np.nan)
+
+    # J4: exact refine per boundary over edge/head gathers
+    pair_by_k: dict[int, list[int]] = {}
+    for i in range(n):
+        for k in cand3[i]:
+            pair_by_k.setdefault(k, []).append(i)
+    E_all = (
+        np.column_stack([ex0, ey0, ex1, ey1])
+        if pair_by_k and len(e_seg)
+        else np.zeros((0, 4))
+    )
+    cand4: list[list[int]] = [[] for _ in range(n)]
+    for k in sorted(pair_by_k):
+        idxs = pair_by_k[k]
+        hitk = np.zeros(len(idxs), dtype=bool)
+        redges = [
+            _edges(np.asarray(ring, np.float64))
+            for rings in polys[k]
+            for ring in rings
+        ]
+        redges = (
+            np.vstack([r for r in redges if len(r)])
+            if any(len(r) for r in redges)
+            else np.zeros((0, 4))
+        )
+        e_cnt = st_e_cnt[idxs]
+        if len(redges) and e_cnt.sum():
+            eidx = np.concatenate(
+                [np.arange(st_e_off[i], st_e_off[i + 1]) for i in idxs]
+            )
+            owner_t = np.repeat(np.arange(len(idxs)), e_cnt)
+            # chunk the E×R orientation matrix at ~2M cells
+            step = max(1, 2_000_000 // max(1, len(redges)))
+            for c0 in range(0, len(eidx), step):
+                m = segments_intersect(E_all[eidx[c0 : c0 + step]], redges).any(
+                    axis=1
+                )
+                np.logical_or.at(hitk, owner_t[c0 : c0 + step], m)
+        h_cnt = st_seg_cnt[idxs]
+        if h_cnt.sum():
+            hsidx = np.concatenate(
+                [np.arange(seg_off0[i], seg_off0[i + 1]) for i in idxs]
+            )
+            H = np.column_stack([head_x[hsidx], head_y[hsidx]])
+            inside = points_in_polygons(H, polys[k])
+            np.logical_or.at(hitk, np.repeat(np.arange(len(idxs)), h_cnt), inside)
+        for t in np.flatnonzero(hitk).tolist():
+            cand4[idxs[t]].append(k)
+
+    out_rows: list[dict] = []
+    cand_streets = [i for i in range(n) if cand4[i]]
+    if cand_streets:
+        # per-seg line centroid (== line_centroid): one bincount pass;
+        # single-point/degenerate segs fall back to their first point
+        elen = np.hypot(ex1 - ex0, ey1 - ey0)
+        tot = np.bincount(e_seg, weights=elen, minlength=S)
+        wx = np.bincount(e_seg, weights=(ex0 + ex1) * 0.5 * elen, minlength=S)
+        wy = np.bincount(e_seg, weights=(ey0 + ey1) * 0.5 * elen, minlength=S)
+        safe_tot = np.where(tot > 0, tot, 1.0)
+        cent_pts = np.column_stack(
             [
-                k
-                for k in cand3[i]
-                if any(linestring_intersects_polygon(s["xy"], polys[k]) for s in segs)
+                np.where(tot > 0, wx / safe_tot, head_x),
+                np.where(tot > 0, wy / safe_tot, head_y),
             ]
         )
 
-    # J5: one PIP call per boundary over all eligible unowned centroids
-    seg_street: list[int] = []
-    seg_objs: list[dict] = []
-    cents: list = []
-    for i, (_, segs, _) in enumerate(streets_parsed):
-        if not cand4[i]:
-            continue
-        for s in segs:
-            seg_street.append(i)
-            seg_objs.append(s)
-            cents.append(line_centroid(s["xy"]))
-    out_rows: list[dict] = []
-    if seg_objs:
-        m = len(seg_objs)
-        seg_street_arr = np.array(seg_street)
-        cent_arr = np.array(cents).reshape(-1, 2)
-        elig = np.zeros((m, nb), dtype=bool)
-        for i, ks in enumerate(cand4):
-            if ks:
-                rows = np.flatnonzero(seg_street_arr == i)
-                elig[np.ix_(rows, ks)] = True
-        owner = np.full(m, -1, dtype=np.int64)
-        for k in np.flatnonzero(elig.any(axis=0)).tolist():
-            idx = np.flatnonzero((owner < 0) & elig[:, k])
-            if not len(idx):
+        # J5 ownership per boundary, ascending k = first-match order
+        pair4_by_k: dict[int, list[int]] = {}
+        for i in cand_streets:
+            for k in cand4[i]:
+                pair4_by_k.setdefault(k, []).append(i)
+        owner = np.full(S, -1, dtype=np.int64)
+        for k in sorted(pair4_by_k):
+            sidx = np.concatenate(
+                [np.arange(seg_off0[i], seg_off0[i + 1]) for i in pair4_by_k[k]]
+            )
+            sidx = sidx[owner[sidx] < 0]
+            if not len(sidx):
                 continue
-            inside = points_in_polygons(cent_arr[idx], polys[k])
-            owner[idx[inside]] = k
-        for i, (r, _, _) in enumerate(streets_parsed):
-            if not cand4[i]:
-                continue
-            groups: dict[str, list] = {}
-            for j in np.flatnonzero(seg_street_arr == i).tolist():
-                o = int(owner[j]) if owner[j] >= 0 else cand4[i][0]  # J7
-                groups.setdefault(bnds[o]["name"], []).append(seg_objs[j])
-            for bname, members in groups.items():
-                out_rows.append(_street_row(r["name"], bname, members))
-    for i, (r, _, _) in enumerate(streets_parsed):
+            inside = points_in_polygons(cent_pts[sidx], polys[k])
+            owner[sidx[inside]] = k
+
+        # J7 fallback + grouping by (street, owner NAME)
+        cmask_st = np.zeros(n, dtype=bool)
+        cmask_st[cand_streets] = True
+        sub = np.flatnonzero(cmask_st[st_of_seg])
+        fallback_st = np.full(n, -1, np.int64)
+        for i in cand_streets:
+            fallback_st[i] = cand4[i][0]
+        fown = owner[sub]
+        fown = np.where(fown >= 0, fown, fallback_st[st_of_seg[sub]])
+        name_codes, name_uniques = pd.factorize(
+            pd.Series([b["name"] for b in bnds])
+        )
+        gname = name_codes[fown]
+        gst = st_of_seg[sub]
+        # stable (street, name, way_id, original order) — matches the
+        # scalar sorted(key=way_id) within each group
+        order_l = np.lexsort((sub, seg_way[sub], gname, gst))
+        o_sub = sub[order_l]
+        gc, gn = gst[order_l], gname[order_l]
+        cuts = np.flatnonzero(
+            np.concatenate([[True], (gc[1:] != gc[:-1]) | (gn[1:] != gn[:-1])])
+        )
+        cend = np.concatenate([cuts[1:], [len(o_sub)]])
+
+        street_id = np.bitwise_xor.reduceat(seg_way[o_sub], cuts)
+
+        seg_diag = np.zeros(S)
+        nzseg = seg_npts > 0
+        if nzseg.any():
+            pstart = pt_off[:-1][nzseg]
+            seg_diag[nzseg] = np.hypot(
+                np.maximum.reduceat(fx, pstart) - np.minimum.reduceat(fx, pstart),
+                np.maximum.reduceat(fy, pstart) - np.minimum.reduceat(fy, pstart),
+            )
+        length = np.add.reduceat(seg_diag[o_sub], cuts)
+
+        plen = seg_npts[o_sub]
+        pnew = np.concatenate([[0], np.cumsum(plen[:-1])])
+        within = np.arange(int(plen.sum())) - np.repeat(pnew, plen)
+        gather = np.repeat(pt_off[:-1][o_sub], plen) + within
+        px, py = fx[gather], fy[gather]
+        gnpts = np.add.reduceat(plen, cuts)
+        loc_x = np.full(len(cuts), np.nan)
+        loc_y = np.full(len(cuts), np.nan)
+        gnz = gnpts > 0
+        if gnz.any():
+            gp_start = (np.concatenate([[0], np.cumsum(gnpts[:-1])]))[gnz]
+            mx = np.add.reduceat(px, gp_start) / gnpts[gnz]
+            my = np.add.reduceat(py, gp_start) / gnpts[gnz]
+            d2 = (px - np.repeat(mx, gnpts[gnz])) ** 2 + (
+                py - np.repeat(my, gnpts[gnz])
+            ) ** 2
+            dmin = np.minimum.reduceat(d2, gp_start)
+            P = len(px)
+            candm = np.where(d2 == np.repeat(dmin, gnpts[gnz]), np.arange(P), P)
+            firstp = np.minimum.reduceat(candm, gp_start)
+            loc_x[gnz] = px[firstp]
+            loc_y[gnz] = py[firstp]
+
+        for g, (b0, b1) in enumerate(zip(cuts.tolist(), cend.tolist())):
+            out_rows.append(
+                {
+                    "id": int(street_id[g]),
+                    "name": recs[int(gc[b0])]["name"],
+                    "boundary": name_uniques[int(gn[b0])],
+                    "length": float(length[g]),
+                    "loc_lon": float(loc_x[g]),
+                    "loc_lat": float(loc_y[g]),
+                    "segments": [
+                        {
+                            "way_id": int(seg_way[si]),
+                            "lons": fx[pt_off[si] : pt_off[si + 1]],
+                            "lats": fy[pt_off[si] : pt_off[si + 1]],
+                        }
+                        for si in o_sub[b0:b1].tolist()
+                    ],
+                }
+            )
+    for i, r in enumerate(recs):
         if not cand4[i]:
             out_rows.append(r)  # passthrough: boundary stays NULL
     return out_rows

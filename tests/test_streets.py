@@ -173,3 +173,141 @@ def test_split_streets_by_cells_scale_parity(spark):
     want = sorted((r["id"], r["name"], r["boundary"]) for r in bcast.collect())
     assert got == want and len(got) >= n_s
     assert sum(1 for _, _, b in got if b is not None) > n_s // 2
+
+
+def test_split_batch_matches_scalar_reference():
+    """The batched J4/J5/J7 split kernel (per-boundary vectorized
+    intersect + ownership, reduceat group assembly) is row-for-row
+    equal to a scalar reference built from linestring_intersects_polygon
+    + per-seg line_centroid + _street_row — randomized streets (multi
+    segment, single-point and duplicate-way cases) against overlapping
+    boundary grids including same-name boundaries (which must merge)."""
+    import numpy as np
+    import pandas as pd
+
+    from osm_pbf2json_spark.functions.geometry import (
+        line_centroid,
+        linestring_intersects_polygon,
+    )
+    from osm_pbf2json_spark.operators.streets import (
+        _parse_boundaries,
+        _split_batch,
+        _street_row,
+    )
+
+    def scalar_split(pdf, bnds, polys, bb):
+        n = len(pdf)
+        parsed = []
+        for r in pdf.to_dict("records"):
+            segs = [
+                {"way_id": s["way_id"],
+                 "xy": np.column_stack([np.asarray(s["lons"], np.float64),
+                                        np.asarray(s["lats"], np.float64)])}
+                for s in r["segments"]
+            ]
+            pts = np.vstack([s["xy"] for s in segs])
+            parsed.append((r, segs, (pts[:, 0].min(), pts[:, 1].min(),
+                                     pts[:, 0].max(), pts[:, 1].max())))
+        sb = np.array([p[2] for p in parsed]).reshape(-1, 4)
+        cand3 = [
+            [k for k in range(len(bnds))
+             if bb[k, 0] <= sb[i, 2] and bb[k, 2] >= sb[i, 0]
+             and bb[k, 1] <= sb[i, 3] and bb[k, 3] >= sb[i, 1]]
+            for i in range(n)
+        ]
+        cand4 = [
+            [k for k in cand3[i]
+             if any(linestring_intersects_polygon(s["xy"], polys[k])
+                    for s in parsed[i][1])]
+            for i in range(n)
+        ]
+        from osm_pbf2json_spark.functions.geometry import points_in_polygons
+
+        seg_street, seg_objs, cents = [], [], []
+        for i, (_, segs, _) in enumerate(parsed):
+            if not cand4[i]:
+                continue
+            for s in segs:
+                seg_street.append(i)
+                seg_objs.append(s)
+                cents.append(line_centroid(s["xy"]))
+        rows = []
+        if seg_objs:
+            m = len(seg_objs)
+            seg_street_arr = np.array(seg_street)
+            cent_arr = np.array(cents).reshape(-1, 2)
+            elig = np.zeros((m, len(bnds)), dtype=bool)
+            for i, ks in enumerate(cand4):
+                if ks:
+                    rr = np.flatnonzero(seg_street_arr == i)
+                    elig[np.ix_(rr, ks)] = True
+            owner = np.full(m, -1, dtype=np.int64)
+            for k in np.flatnonzero(elig.any(axis=0)).tolist():
+                idx = np.flatnonzero((owner < 0) & elig[:, k])
+                if len(idx):
+                    inside = points_in_polygons(cent_arr[idx], polys[k])
+                    owner[idx[inside]] = k
+            for i, (r, _, _) in enumerate(parsed):
+                if not cand4[i]:
+                    continue
+                groups = {}
+                for j in np.flatnonzero(seg_street_arr == i).tolist():
+                    o = int(owner[j]) if owner[j] >= 0 else cand4[i][0]
+                    groups.setdefault(bnds[o]["name"], []).append(seg_objs[j])
+                for bname, members in groups.items():
+                    rows.append(_street_row(r["name"], bname, members))
+        for i, (r, _, _) in enumerate(parsed):
+            if not cand4[i]:
+                rows.append(r)
+        return rows
+
+    rng = np.random.default_rng(11)
+    brows = []
+    for k in range(40):
+        x0 = float(k % 8) * 1.1
+        y0 = float(k // 8) * 1.1
+        ring = [{"lon": x0, "lat": y0}, {"lon": x0 + 1.0, "lat": y0},
+                {"lon": x0 + 1.0, "lat": y0 + 1.0}, {"lon": x0, "lat": y0 + 1.0},
+                {"lon": x0, "lat": y0}]
+        brows.append({
+            # every 4th pair shares a name -> same-name merge exercised
+            "relation_id": k, "name": f"b{k // 2:02d}", "admin_level": 8,
+            "sw_lon": x0, "sw_lat": y0, "ne_lon": x0 + 1.0, "ne_lat": y0 + 1.0,
+            "polygons": [[ring]],
+        })
+    bnds, polys, bb = _parse_boundaries(brows)
+
+    rows = []
+    for i in range(300):
+        nseg = int(rng.integers(1, 4))
+        segs = []
+        for s in range(nseg):
+            npts = int(rng.integers(1, 5))
+            x = rng.uniform(0, 9, npts)
+            y = rng.uniform(0, 6, npts)
+            segs.append({"way_id": int(rng.integers(1, 6)) * 100 + s,
+                         "lons": x, "lats": y})
+        rows.append({"id": i, "name": f"st{i % 37}", "boundary": None,
+                     "length": 0.0, "loc_lon": 0.0, "loc_lat": 0.0,
+                     "segments": segs})
+    pdf = pd.DataFrame(rows)
+
+    def norm(rs):
+        out = []
+        for r in rs:
+            out.append((
+                int(r["id"]), r["name"], r["boundary"],
+                round(float(r["length"]), 9),
+                round(float(r["loc_lon"]), 9), round(float(r["loc_lat"]), 9),
+                tuple(
+                    (int(s["way_id"]),
+                     tuple(np.round(np.asarray(s["lons"], np.float64), 9)),
+                     tuple(np.round(np.asarray(s["lats"], np.float64), 9)))
+                    for s in r["segments"]
+                ),
+            ))
+        return sorted(out)
+
+    got = norm(_split_batch(pdf, bnds, polys, bb))
+    want = norm(scalar_split(pdf, bnds, polys, bb))
+    assert got == want
