@@ -307,6 +307,22 @@ def extract_streets(ways_filtered: DataFrame, nodes: DataFrame) -> DataFrame:
     return raw.withColumn("segments", _segments_to_coords())
 
 
+def _ring_xy(ring) -> np.ndarray:
+    """One ring → (N,2) float64. Accepts the public coords layout (a
+    sequence of {lon,lat} dicts) or the raw parallel-array layout
+    ({lons: [...], lats: [...]}, produced JVM-side by _polys_to_raw) —
+    the raw form reaches Python as two primitive Arrow buffers, so
+    planet-scale admin rings never marshal per-vertex dicts."""
+    if isinstance(ring, dict):
+        return np.column_stack(
+            [
+                np.asarray(ring["lons"], np.float64),
+                np.asarray(ring["lats"], np.float64),
+            ]
+        )
+    return np.array([(c["lon"], c["lat"]) for c in ring], np.float64).reshape(-1, 2)
+
+
 def _parse_boundaries(boundary_rows: list[dict]):
     """Deterministic (admin_level, name, relation_id) order + parsed ring
     arrays + bbox matrix for a list of assembled boundary dicts."""
@@ -314,16 +330,28 @@ def _parse_boundaries(boundary_rows: list[dict]):
         boundary_rows, key=lambda b: (b["admin_level"], b["name"], b["relation_id"])
     )
     polys = [
-        [
-            [np.array([(c["lon"], c["lat"]) for c in ring], np.float64) for ring in rings]
-            for rings in b["polygons"]
-        ]
+        [[_ring_xy(ring) for ring in rings] for rings in b["polygons"]]
         for b in bnds
     ]
     bb = np.array(
         [[b["sw_lon"], b["sw_lat"], b["ne_lon"], b["ne_lat"]] for b in bnds]
     ).reshape(-1, 4)
     return bnds, polys, bb
+
+
+def _polys_to_raw(col: str = "polygons"):
+    """JVM-side: multipolygon coords structs → per-ring parallel
+    lons/lats arrays (the layout _ring_xy consumes zero-copy)."""
+    return F.transform(
+        col,
+        lambda poly: F.transform(
+            poly,
+            lambda ring: F.struct(
+                F.transform(ring, lambda c: c["lon"]).alias("lons"),
+                F.transform(ring, lambda c: c["lat"]).alias("lats"),
+            ),
+        ),
+    )
 
 
 def _split_batch(pdf: pd.DataFrame, bnds, polys, bb, cand_lists=None) -> list[dict]:
@@ -747,7 +775,11 @@ def split_streets_by_cells(
     bundles = need.join(
         boundaries_df.select(
             "relation_id", "name", "admin_level",
-            "sw_lon", "sw_lat", "ne_lon", "ne_lat", "polygons",
+            "sw_lon", "sw_lat", "ne_lon", "ne_lat",
+            # rings ship as parallel primitive arrays: the cogroup kernel
+            # parses each boundary once per group, and a planet-scale
+            # admin ring must not marshal per-vertex dicts there
+            _polys_to_raw("polygons").alias("polygons"),
         ),
         "relation_id",
     )
