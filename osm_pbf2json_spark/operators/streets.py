@@ -507,7 +507,13 @@ def _split_batch(pdf: pd.DataFrame, bnds, polys, bb, cand_lists=None) -> list[di
                 m = segments_intersect(E_all[eidx[c0 : c0 + step]], redges).any(
                     axis=1
                 )
-                np.logical_or.at(hitk, owner_t[c0 : c0 + step], m)
+                # bincount-as-any: C-speed scatter (ufunc.at is per-element)
+                hitk |= (
+                    np.bincount(
+                        owner_t[c0 : c0 + step], weights=m, minlength=len(idxs)
+                    )
+                    > 0
+                )
         h_cnt = st_seg_cnt[idxs]
         if h_cnt.sum():
             hsidx = np.concatenate(
@@ -515,7 +521,14 @@ def _split_batch(pdf: pd.DataFrame, bnds, polys, bb, cand_lists=None) -> list[di
             )
             H = np.column_stack([head_x[hsidx], head_y[hsidx]])
             inside = points_in_polygons(H, polys[k])
-            np.logical_or.at(hitk, np.repeat(np.arange(len(idxs)), h_cnt), inside)
+            hitk |= (
+                np.bincount(
+                    np.repeat(np.arange(len(idxs)), h_cnt),
+                    weights=inside,
+                    minlength=len(idxs),
+                )
+                > 0
+            )
         for t in np.flatnonzero(hitk).tolist():
             cand4[idxs[t]].append(k)
 
