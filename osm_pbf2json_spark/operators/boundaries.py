@@ -159,4 +159,9 @@ def boundaries(tables: EntityTables, levels=None) -> DataFrame:
     relation id (BTreeMap output order, mod.rs:218 analog)."""
     pred = compile_groups(build_admin_groups(levels))
     closed = closure(tables, pred)
-    return boundaries_from_closure(closed).orderBy("relation_id")
+    # lazy checkpoint: see streets() — avoids the sort's double compute
+    return (
+        boundaries_from_closure(closed)
+        .localCheckpoint(eager=False)
+        .orderBy("relation_id")
+    )

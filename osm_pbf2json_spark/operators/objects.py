@@ -191,6 +191,10 @@ def objects(
             shape_part(out_rels, rel_coords, "relation").withColumn("type_rank", F.lit(2))
         )
     )
+    # NO checkpoint before this sort (unlike streets/boundaries): the
+    # objects upstream is already pinned inside closure/resolve, so the
+    # range-partitioner sampling pass re-reads cheap pinned frames —
+    # checkpointing the wide geometry output here measured slower
     return (
         unioned.orderBy("type_rank", "id")
         .select(

@@ -847,8 +847,11 @@ def streets(
     # including dependency ways pulled in as members of a pred-matched
     # relation (streets.rs:166-193 iterates all objs, not re-filtered).
     result = extract_streets(closed.ways, closed.nodes)
+    # lazy checkpoints before the global sorts: orderBy's
+    # range-partitioner sampling pass would otherwise recompute the
+    # whole pipeline a second time (sample job + sort job)
     if boundary is None:
-        return result.orderBy("name", "id")
+        return result.localCheckpoint(eager=False).orderBy("name", "id")
     admin_pred = compile_groups(build_admin_groups([boundary]))
     admin_closed = closure(tables, admin_pred)
     bdf = boundaries_from_closure(admin_closed).localCheckpoint(eager=True)
@@ -857,4 +860,4 @@ def streets(
         split = split_streets_broadcast(result, brows)
     else:
         split = split_streets_by_cells(result, bdf)
-    return split.orderBy("name", "boundary", "id")
+    return split.localCheckpoint(eager=False).orderBy("name", "boundary", "id")
