@@ -1775,3 +1775,100 @@ def test_mp4_mp3_container_metadata(spark):
     assert rows[1]["features"] == [] and rows[2]["features"] == []
     f = {r["media_id"]: r for r in decode_features(media, fake=True).collect()}
     assert len(f[1]["features"]) == 16 and len(f[2]["features"]) == 16
+
+
+def test_jpeg_progressive_restart_markers():
+    """Progressive DC scan with DRI=1: RST0 between the two data units
+    resets the DC predictor, so the second unit's diff is absolute
+    (same contract as the baseline restart test, through the
+    progressive path)."""
+    from osm_pbf2json_spark.operators.jpeg import (
+        _AC_LUMA_SPEC,
+        _BitWriter,
+        _DC_LUMA_SPEC,
+        _huff_codes,
+        decode_jpeg,
+    )
+
+    dc = _huff_codes(_DC_LUMA_SPEC)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def dht(tc, th, spec):
+        bits, vals = spec
+        return bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+
+    def dc_bits(vals):
+        bw = _BitWriter()
+        for v in vals:
+            t = int(abs(v)).bit_length()
+            c, ln = dc[t]
+            bw.write(c, ln)
+            if t:
+                bw.write(v if v >= 0 else v + (1 << t) - 1, t)
+        bw.flush()
+        return bytes(bw.out)
+
+    # 16x8 grayscale = 2 blocks; DC values 16 and 24 (solid 130 / 131)
+    data = bytearray(b"\xff\xd8")
+    data += seg(0xDB, bytes([0]) + bytes([1] * 64))
+    data += seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 16) + bytes([1, 1, 0x11, 0]))
+    data += seg(0xC4, dht(0, 0, _DC_LUMA_SPEC))
+    data += seg(0xC4, dht(1, 0, _AC_LUMA_SPEC))
+    data += seg(0xDD, struct.pack(">H", 1))  # DRI = 1
+    # DC first scan at Al=0: unit 1 codes diff 16; RST0; unit 2 codes
+    # ABSOLUTE 24 (predictor reset). AC scan: both blocks all-zero EOB.
+    data += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+    data += dc_bits([16]) + b"\xff\xd0" + dc_bits([24])
+    # AC scan 1..63: both blocks all-zero — one EOB (0x00) per block;
+    # DRI=1 still applies, so an RST0 separates the two data units here
+    # too (a real progressive encoder emits restarts in every scan)
+    data += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+    ac = _huff_codes(_AC_LUMA_SPEC)
+
+    def eob_unit():
+        bw = _BitWriter()
+        c, ln = ac[0x00]
+        bw.write(c, ln)
+        bw.flush()
+        return bytes(bw.out)
+
+    data += eob_unit() + b"\xff\xd0" + eob_unit()
+    data += b"\xff\xd9"
+
+    w, h, rgb = decode_jpeg(bytes(data))
+    assert (w, h) == (16, 8)
+    assert (rgb[:, :8] == 130).all() and (rgb[:, 8:] == 131).all()
+
+
+def test_mp4_mp3_garbage_routes_to_null(spark):
+    """Truncated/corrupt MP4 and MP3 payloads never fail the batch —
+    they route to format-NULL through decode_media (the parser raises
+    ValueError/struct.error, caught at the kernel boundary)."""
+    import numpy as np
+
+    from osm_pbf2json_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+    )
+
+    mp4 = _build_test_mp4()
+    mp3 = _build_test_mp3(5)
+    rng = np.random.Generator(np.random.PCG64(5))
+    payloads = [
+        mp4[:15],                      # truncated inside ftyp
+        mp4[:60],                      # truncated inside moov
+        bytes(mp4[:30]) + bytes(rng.integers(0, 256, 64, dtype=np.uint8)),
+        b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + b"\x00" * 200,  # ID3, no frames
+        mp3[:100],                     # truncated mid-frame (header walk stops)
+    ]
+    media = spark.createDataFrame(
+        [(i, "video", p, None) for i, p in enumerate(payloads)], MEDIA_SCHEMA
+    )
+    rows = {r["media_id"]: r for r in decode_media(media).collect()}
+    # the truncated-mid-frame mp3 still yields its parsed leading frames
+    # OR routes to NULL — both are clean; everything else must be NULL
+    for i in (0, 1, 2, 3):
+        assert rows[i]["format"] is None, i
+        assert rows[i]["features"] == []
