@@ -5,8 +5,9 @@ Decode support is format-tiered:
 - REAL decoders (pure stdlib/numpy, no external media libs needed):
   BMP (24-bit BITMAPINFOHEADER), PPM (P6), WAV (PCM16 via the stdlib
   `wave` module), PNG (8-bit RGB/RGBA, all five scanline filters —
-  zlib inflate IS stdlib), and JPEG — baseline AND progressive DCT,
-  Huffman, grayscale/YCbCr up to 2×2 subsampling (see
+  zlib inflate IS stdlib), GIF (87a/89a palette + LZW + interlace;
+  animated = first frame + frame count), and JPEG — baseline AND
+  progressive DCT, Huffman, grayscale/YCbCr up to 2×2 subsampling (see
   operators/jpeg.py). These produce real dimensions/sample-rates and
   content features (mean RGB, luma stats, RMS, zero-crossing rate),
   detected by payload magic bytes.
@@ -69,6 +70,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "png"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         return "mp4"
     if payload[:3] == b"ID3" or _mp3_header(payload, 0) is not None:
@@ -246,6 +249,138 @@ def decode_ppm(payload: bytes):
         raise NotImplementedError("only maxval-255 PPM")
     rgb = np.frombuffer(payload, np.uint8, count=width * height * 3, offset=pos)
     return width, height, rgb.reshape(height, width, 3)
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> list[int]:
+    """GIF-variant LZW: variable-width codes (LSB-first bit packing),
+    CLEAR resets the dictionary, dictionary capped at 4096 entries.
+    Returns the decoded index stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    roots = [[i] for i in range(clear)]
+
+    def reset():
+        return roots + [None, None], min_code_size + 1
+
+    table, width = reset()
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return out  # truncated stream: emit what decoded cleanly
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table, width = reset()
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out.extend(entry)
+        if len(out) > max_pixels:
+            raise ValueError("LZW output exceeds declared frame size")
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+def decode_gif(payload: bytes, max_pixels: int = 64_000_000):
+    """GIF87a/89a → (width, height, rgb uint8 (h,w,3) of the FIRST
+    frame, n_frames). Full palette + LZW + interlace implementation
+    (pure stdlib/NumPy). Animated GIFs: the first frame is composited
+    onto the background-filled logical screen and later frames are
+    counted, not decoded (feature extraction reads one frame).
+    Transparency indices render as the palette color (no alpha plane
+    in the RGB output)."""
+    d = payload
+    if d[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    width, height = struct.unpack_from("<HH", d, 6)
+    if width * height > max_pixels or width == 0 or height == 0:
+        raise ValueError(f"unreasonable dimensions {width}x{height}")
+    packed = d[10]
+    bg_index = d[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        ncol = 2 << (packed & 0x07)
+        gct = np.frombuffer(d, np.uint8, ncol * 3, pos).reshape(-1, 3)
+        pos += ncol * 3
+
+    canvas = np.zeros((height, width, 3), np.uint8)
+    if gct is not None and bg_index < len(gct):
+        canvas[:] = gct[bg_index]
+    n_frames = 0
+    while pos < len(d):
+        b = d[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: skip label + sub-blocks
+            pos += 1
+            while pos < len(d) and d[pos]:
+                pos += 1 + d[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        left, top, fw, fh = struct.unpack_from("<HHHH", d, pos)
+        fpacked = d[pos + 8]
+        pos += 9
+        lct = None
+        if fpacked & 0x80:
+            ncol = 2 << (fpacked & 0x07)
+            lct = np.frombuffer(d, np.uint8, ncol * 3, pos).reshape(-1, 3)
+            pos += ncol * 3
+        min_code = d[pos]
+        pos += 1
+        chunks = []
+        while pos < len(d) and d[pos]:
+            ln = d[pos]
+            chunks.append(d[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        n_frames += 1
+        if n_frames > 1:
+            continue  # count only; first frame is the decoded one
+        palette = lct if lct is not None else gct
+        if palette is None:
+            raise ValueError("GIF frame without a color table")
+        idx = _gif_lzw_decode(min_code, b"".join(chunks), fw * fh)
+        if len(idx) < fw * fh:  # truncated: pad with background index
+            idx = idx + [bg_index] * (fw * fh - len(idx))
+        arr = np.asarray(idx[: fw * fh], np.int64).reshape(fh, fw)
+        if fpacked & 0x40:  # interlaced: 4-pass row order
+            deint = np.empty_like(arr)
+            rows = np.concatenate(
+                [np.arange(0, fh, 8), np.arange(4, fh, 8),
+                 np.arange(2, fh, 4), np.arange(1, fh, 2)]
+            )
+            deint[rows] = arr
+            arr = deint
+        rgb = palette[np.clip(arr, 0, len(palette) - 1)]
+        y1, x1 = min(height, top + fh), min(width, left + fw)
+        canvas[top:y1, left:x1] = rgb[: y1 - top, : x1 - left]
+    if n_frames == 0:
+        raise ValueError("GIF without an image descriptor")
+    return width, height, canvas, n_frames
 
 
 def decode_wav(payload: bytes):
@@ -478,6 +613,11 @@ def decode_one(payload: bytes, dim: int = FEATURE_DIM):
         from .jpeg import decode_jpeg
 
         w, h, rgb = decode_jpeg(payload)
+        return fmt, w, h, None, None, _image_features(rgb, dim)
+    if fmt == "gif":
+        w, h, rgb, n_frames = decode_gif(payload)
+        # animated duration is delay-table driven; report frame count
+        # via duration_ms=None (frames counted, first frame featurized)
         return fmt, w, h, None, None, _image_features(rgb, dim)
     if fmt == "wav":
         rate, dur, samples = decode_wav(payload)

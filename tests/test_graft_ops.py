@@ -1872,3 +1872,166 @@ def test_mp4_mp3_garbage_routes_to_null(spark):
     for i in (0, 1, 2, 3):
         assert rows[i]["format"] is None, i
         assert rows[i]["features"] == []
+
+
+def _gif_lzw_encode(min_code_size: int, indices) -> bytes:
+    """Compliant GIF-LZW encoder (test oracle): grows the dictionary,
+    emits CLEAR at 4096, tracks the DECODER's width-bump rule (table
+    size reaching 2^width after its per-read append)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out_codes = []
+    state = {}
+
+    def reset():
+        state["table"] = {(i,): i for i in range(clear)}
+        state["next"] = eoi + 1
+        state["width"] = min_code_size + 1
+        state["emitted"] = 0
+        state["dec_size"] = clear + 2
+
+    def emit(code):
+        out_codes.append((code, state["width"]))
+        state["emitted"] += 1
+        if state["emitted"] >= 2:  # decoder appends from its 2nd read on
+            state["dec_size"] += 1
+            if state["dec_size"] == (1 << state["width"]) and state["width"] < 12:
+                state["width"] += 1
+
+    reset()
+    emit(clear)
+    state["emitted"] = 0  # clear itself doesn't count as a read-append
+    buf = ()
+    for px in indices:
+        cand = buf + (int(px),)
+        if cand in state["table"]:
+            buf = cand
+            continue
+        emit(state["table"][buf])
+        if state["next"] < 4096:
+            state["table"][cand] = state["next"]
+            state["next"] += 1
+        else:
+            emit(clear)
+            reset()
+            state["emitted"] = 1  # post-clear: next emit is the 1st read
+        buf = (int(px),)
+    if buf:
+        emit(state["table"][buf])
+    emit(eoi)
+    # LSB-first bit packing into 255-byte sub-blocks
+    acc = nbits = 0
+    raw = bytearray()
+    for code, width in out_codes:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            raw.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        raw.append(acc & 0xFF)
+    out = bytearray()
+    for i in range(0, len(raw), 255):
+        blk = raw[i : i + 255]
+        out.append(len(blk))
+        out += blk
+    out.append(0)
+    return bytes(out)
+
+
+def _build_gif(indices2d, palette, interlaced=False, extra_frame=False):
+    """Minimal GIF89a: global color table, optional interlace, optional
+    second (identical) frame for animation counting."""
+    h, w = indices2d.shape
+    ncol = len(palette)
+    bits = max(1, (ncol - 1).bit_length())
+    size_field = max(0, bits - 1)
+    gct = bytearray()
+    for r, g, b in palette:
+        gct += bytes([r, g, b])
+    gct += b"\x00" * ((2 << size_field) - ncol) * 3
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h) + bytes([0x80 | size_field, 0, 0]) + gct
+
+    def frame():
+        f = bytearray(b"\x2c") + struct.pack("<HHHH", 0, 0, w, h)
+        f.append(0x40 if interlaced else 0x00)
+        rows = indices2d
+        if interlaced:
+            order = list(range(0, h, 8)) + list(range(4, h, 8)) + \
+                    list(range(2, h, 4)) + list(range(1, h, 2))
+            rows = indices2d[order]
+        mcs = max(2, bits)
+        f.append(mcs)
+        f += _gif_lzw_encode(mcs, rows.ravel())
+        return f
+
+    out += frame()
+    if extra_frame:
+        out += frame()
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_decode_lzw_palette_interlace(spark):
+    """Real GIF decode: palette LZW (dictionary growth through multiple
+    width bumps on a 64x48 16-color noise image), interlaced row order,
+    animation frame counting, and the decode_media integration."""
+    from osm_pbf2json_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_gif,
+        decode_media,
+        sniff_format,
+    )
+
+    palette4 = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0)]
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0], [0, 0, 1, 1], [2, 2, 3, 3]],
+                   dtype=np.int64)
+    gif = _build_gif(idx, palette4)
+    assert sniff_format(gif) == "gif"
+    w, h, rgb, nf = decode_gif(gif)
+    assert (w, h, nf) == (4, 4, 1)
+    want = np.array(palette4, np.uint8)[idx]
+    assert (rgb == want).all()
+
+    rng = np.random.Generator(np.random.PCG64(13))
+    palette16 = [(i * 16, 255 - i * 16, (i * 37) % 256) for i in range(16)]
+    big = rng.integers(0, 16, size=(48, 64), dtype=np.int64)
+    for variant in (False, True):
+        g2 = _build_gif(big, palette16, interlaced=variant)
+        w, h, rgb2, nf = decode_gif(g2)
+        assert (w, h, nf) == (64, 48, 1), variant
+        assert (rgb2 == np.array(palette16, np.uint8)[big]).all(), variant
+
+    anim = _build_gif(idx, palette4, extra_frame=True)
+    w, h, rgb3, nf = decode_gif(anim)
+    assert nf == 2 and (rgb3 == want).all()
+
+    media = spark.createDataFrame(
+        [(1, "image", gif, None), (2, "image", gif[:20], None)], MEDIA_SCHEMA
+    )
+    rows = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert rows[1]["format"] == "gif" and rows[1]["width"] == 4
+    assert len(rows[1]["features"]) == 16
+    assert rows[2]["format"] is None  # truncated -> NULL routing
+
+    # bit-flip / truncation fuzz: decode or raise promptly, never hang
+    import time
+
+    g3 = bytearray(_build_gif(big, palette16))
+    t0 = time.time()
+    for _ in range(25):
+        mut = bytearray(g3)
+        for _k in range(int(rng.integers(1, 5))):
+            mut[int(rng.integers(6, len(mut)))] = int(rng.integers(0, 256))
+        try:
+            decode_gif(bytes(mut))
+        except Exception:
+            pass
+    for cut in (7, 14, 30, len(g3) // 2, len(g3) - 2):
+        try:
+            decode_gif(bytes(g3[:cut]))
+        except Exception:
+            pass
+    assert time.time() - t0 < 20
