@@ -165,28 +165,30 @@ def _cluster_group(pdf: pd.DataFrame) -> pd.DataFrame:
     per-segment bboxes come from ONE reduceat pass over the flattened
     buffer — no iterrows, no per-point dict access in either direction."""
     name = pdf["name"].iloc[0]
-    segs = []
-    for wid, lo, la in zip(
-        pdf["way_id"].to_numpy(), pdf["_lons"].to_numpy(), pdf["_lats"].to_numpy()
-    ):
+    lons_col = pdf["_lons"].to_numpy()
+    lats_col = pdf["_lats"].to_numpy()
+    wids_col = pdf["way_id"].to_numpy()
+    # one flattening pass over array refs — no per-seg column_stack or
+    # dict building; empty segs dropped (SegmentGeometry::new fails on
+    # an empty coordinate set)
+    seg_lons: list[np.ndarray] = []
+    seg_lats: list[np.ndarray] = []
+    keep: list[int] = []
+    for k, lo in enumerate(lons_col):
         if lo is None or len(lo) == 0:
-            continue  # SegmentGeometry::new fails on empty — dropped
-        segs.append(
-            {
-                "way_id": wid,
-                "xy": np.column_stack(
-                    [np.asarray(lo, np.float64), np.asarray(la, np.float64)]
-                ),
-            }
-        )
-    if not segs:
+            continue
+        keep.append(k)
+        seg_lons.append(np.asarray(lo, np.float64))
+        seg_lats.append(np.asarray(lats_col[k], np.float64))
+    if not keep:
         return pd.DataFrame(
             columns=["id", "name", "boundary", "length", "loc_lon", "loc_lat", "segments"]
         )
-    lens = np.array([len(s["xy"]) for s in segs])
+    wids_kept = np.asarray(wids_col, np.int64)[keep]
+    lens = np.fromiter((len(a) for a in seg_lons), np.int64, len(keep))
     starts = np.concatenate([[0], np.cumsum(lens[:-1])])
-    flat_x = np.concatenate([s["xy"][:, 0] for s in segs])
-    flat_y = np.concatenate([s["xy"][:, 1] for s in segs])
+    flat_x = np.concatenate(seg_lons)
+    flat_y = np.concatenate(seg_lats)
     swx = np.minimum.reduceat(flat_x, starts)
     nex = np.maximum.reduceat(flat_x, starts)
     swy = np.minimum.reduceat(flat_y, starts)
@@ -197,7 +199,7 @@ def _cluster_group(pdf: pd.DataFrame) -> pd.DataFrame:
     # the component-sorted flattened buffers — no per-component Python
     # math. Segments sort (component, way_id) to reproduce the
     # reference's member order (streets.rs:222-234 sorts by way id).
-    wids = np.array([s["way_id"] for s in segs], dtype=np.int64)
+    wids = wids_kept
     glex = np.lexsort((wids, labels))
     ls = labels[glex]
     cstart = np.flatnonzero(np.concatenate([[True], ls[1:] != ls[:-1]]))
@@ -237,8 +239,8 @@ def _cluster_group(pdf: pd.DataFrame) -> pd.DataFrame:
             [
                 {
                     "way_id": int(wids[i]),
-                    "lons": segs[i]["xy"][:, 0],
-                    "lats": segs[i]["xy"][:, 1],
+                    "lons": flat_x[starts[i] : starts[i] + lens[i]],
+                    "lats": flat_y[starts[i] : starts[i] + lens[i]],
                 }
                 for i in glex[b0:b1]
             ]
