@@ -11,8 +11,13 @@ Decode support is format-tiered:
   operators/jpeg.py). These produce real dimensions/sample-rates and
   content features (mean RGB, luma stats, RMS, zero-crossing rate),
   detected by payload magic bytes.
+- REAL container/bitstream-header metadata with STUBBED sample decode:
+  MP4 (ISO-BMFF box walk), MP3 (frame-header walk), WebP (VP8/VP8L/
+  VP8X dims + animation flag) — true dims/durations/sample-rates,
+  empty feature vectors.
 - STUBBED decode for formats whose codecs aren't in this container
-  (arithmetic/hierarchical JPEG, MP3/MP4): `decode_features` raises
+  (arithmetic/hierarchical JPEG, VP8/VP8L, H.264/AAC/LayerIII
+  samples): `decode_features` raises
   NotImplementedError unless `fake=True`, in which case a deterministic
   featurizer (seeded from the payload hash) produces stable output so
   downstream operators stay testable end-to-end. Corrupt/truncated
@@ -72,6 +77,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "jpeg"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         return "mp4"
     if payload[:3] == b"ID3" or _mp3_header(payload, 0) is not None:
@@ -522,6 +529,50 @@ def _parse_trak(buf: bytes, pos: int, end: int, out: dict) -> None:
             out["sample_rate"] = rate
 
 
+def parse_webp(payload: bytes) -> dict:
+    """WebP RIFF container → {width, height, variant, animated}. Real
+    parse of the public container/bitstream headers: VP8 (lossy) frame
+    tag + start code, VP8L (lossless) 14-bit dimension fields, VP8X
+    (extended) 24-bit canvas fields + animation flag. The VP8/VP8L
+    SAMPLE decode (boolean-arithmetic coder / LZ77+Huffman transforms)
+    stays stubbed like the other codec-level gaps."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    pos = 12
+    out = {"width": None, "height": None, "variant": None, "animated": False}
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if fourcc == b"VP8 " and len(body) >= 10:
+            if body[3:6] != b"\x9d\x01\x2a":
+                raise ValueError("bad VP8 start code")
+            w, h = struct.unpack_from("<HH", body, 6)
+            out.update(
+                width=w & 0x3FFF, height=h & 0x3FFF, variant="lossy"
+            )
+        elif fourcc == b"VP8L" and len(body) >= 5:
+            if body[0] != 0x2F:
+                raise ValueError("bad VP8L signature")
+            (bits,) = struct.unpack_from("<I", body, 1)
+            out.update(
+                width=(bits & 0x3FFF) + 1,
+                height=((bits >> 14) & 0x3FFF) + 1,
+                variant="lossless",
+            )
+        elif fourcc == b"VP8X" and len(body) >= 10:
+            out["animated"] = bool(body[0] & 0x02)
+            w = int.from_bytes(body[4:7], "little") + 1
+            h = int.from_bytes(body[7:10], "little") + 1
+            out.update(width=w, height=h, variant="extended")
+        pos += 8 + size + (size & 1)  # chunks pad to even
+        if out["variant"] in ("lossy", "lossless"):
+            break  # still-image dims are authoritative; stop early
+    if out["variant"] is None:
+        raise ValueError("WebP without a VP8/VP8L/VP8X chunk")
+    return out
+
+
 # --- MP3 frame-header metadata ------------------------------------------------
 
 _MP3_BITRATE = {  # kbps, (version_key, layer) -> index table; 0=free, None=bad
@@ -622,6 +673,10 @@ def decode_one(payload: bytes, dim: int = FEATURE_DIM):
     if fmt == "wav":
         rate, dur, samples = decode_wav(payload)
         return fmt, None, None, rate, dur, _audio_features(samples, dim)
+    if fmt == "webp":
+        m = parse_webp(payload)
+        # real container dims; VP8/VP8L sample decode is the stubbed part
+        return fmt, m["width"], m["height"], None, None, np.zeros(0, np.float32)
     if fmt == "mp4":
         m = parse_mp4(payload)
         # REAL container metadata; content features need the stubbed

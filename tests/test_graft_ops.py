@@ -2035,3 +2035,50 @@ def test_gif_decode_lzw_palette_interlace(spark):
         except Exception:
             pass
     assert time.time() - t0 < 20
+
+
+def test_webp_container_metadata(spark):
+    """WebP dims decoded for real from all three bitstream variants
+    (hand-built VP8 lossy frame tag, VP8L lossless 14-bit fields, VP8X
+    extended canvas + ANIM flag); sample decode stays stubbed, so
+    decode_media reports true dims with empty features and corrupt
+    streams route to NULL."""
+    from osm_pbf2json_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        parse_webp,
+        sniff_format,
+    )
+
+    def riff(chunks):
+        body = b"WEBP"
+        for fourcc, payload in chunks:
+            body += fourcc + struct.pack("<I", len(payload)) + payload
+            if len(payload) & 1:
+                body += b"\x00"
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    vp8 = riff([(b"VP8 ", b"\x00\x00\x00\x9d\x01\x2a"
+                 + struct.pack("<HH", 320, 240) + b"\x00" * 8)])
+    assert sniff_format(vp8) == "webp"
+    m = parse_webp(vp8)
+    assert (m["width"], m["height"], m["variant"]) == (320, 240, "lossy")
+
+    bits = (127 - 1) | ((63 - 1) << 14)  # w=127, h=63 (14-bit fields)
+    vp8l = riff([(b"VP8L", b"\x2f" + struct.pack("<I", bits) + b"\x00" * 4)])
+    m = parse_webp(vp8l)
+    assert (m["width"], m["height"], m["variant"]) == (127, 63, "lossless")
+
+    vp8x = riff([(b"VP8X", bytes([0x02]) + b"\x00" * 3
+                  + (799).to_bytes(3, "little") + (599).to_bytes(3, "little"))])
+    m = parse_webp(vp8x)
+    assert (m["width"], m["height"], m["animated"]) == (800, 600, True)
+
+    media = spark.createDataFrame(
+        [(1, "image", vp8, None), (2, "image", vp8[:14], None)], MEDIA_SCHEMA
+    )
+    rows = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert rows[1]["format"] == "webp"
+    assert (rows[1]["width"], rows[1]["height"]) == (320, 240)
+    assert rows[1]["features"] == []
+    assert rows[2]["format"] is None
