@@ -79,7 +79,9 @@ def sniff_format(payload: bytes) -> str | None:
         return "gif"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return "webp"
-    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+    if len(payload) >= 16 and payload[4:8] == b"ftyp":
+        if payload[8:12] in (b"avif", b"avis"):
+            return "avif"
         return "mp4"
     if payload[:3] == b"ID3" or _mp3_header(payload, 0) is not None:
         return "mp3"
@@ -529,6 +531,31 @@ def _parse_trak(buf: bytes, pos: int, end: int, out: dict) -> None:
             out["sample_rate"] = rate
 
 
+def parse_avif(payload: bytes) -> dict:
+    """AVIF (ISO-BMFF/HEIF) → {width, height}: walk meta (a FULL box —
+    4 version/flags bytes precede its children) → iprp → ipco → ispe
+    (image spatial extents: u32 width, height after version/flags).
+    The AV1 sample decode stays stubbed like the other codec gaps."""
+    meta = None
+    for typ, b0, b1 in _iter_boxes(payload, 0, len(payload)):
+        if typ == b"meta":
+            meta = (b0 + 4, b1)  # skip FullBox version/flags
+            break
+    if meta is None:
+        raise ValueError("AVIF without meta box")
+    for typ, b0, b1 in _iter_boxes(payload, *meta):
+        if typ != b"iprp":
+            continue
+        for t2, c0, c1 in _iter_boxes(payload, b0, b1):
+            if t2 != b"ipco":
+                continue
+            for t3, d0, d1 in _iter_boxes(payload, c0, c1):
+                if t3 == b"ispe" and d0 + 12 <= d1:
+                    w, h = struct.unpack_from(">II", payload, d0 + 4)
+                    return {"width": w, "height": h}
+    raise ValueError("AVIF without ispe property")
+
+
 def parse_webp(payload: bytes) -> dict:
     """WebP RIFF container → {width, height, variant, animated}. Real
     parse of the public container/bitstream headers: VP8 (lossy) frame
@@ -676,6 +703,9 @@ def decode_one(payload: bytes, dim: int = FEATURE_DIM):
     if fmt == "webp":
         m = parse_webp(payload)
         # real container dims; VP8/VP8L sample decode is the stubbed part
+        return fmt, m["width"], m["height"], None, None, np.zeros(0, np.float32)
+    if fmt == "avif":
+        m = parse_avif(payload)
         return fmt, m["width"], m["height"], None, None, np.zeros(0, np.float32)
     if fmt == "mp4":
         m = parse_mp4(payload)

@@ -2082,3 +2082,30 @@ def test_webp_container_metadata(spark):
     assert (rows[1]["width"], rows[1]["height"]) == (320, 240)
     assert rows[1]["features"] == []
     assert rows[2]["format"] is None
+
+
+def test_avif_container_metadata(spark):
+    """AVIF dims via the meta(FullBox)/iprp/ipco/ispe walk; the ftyp
+    brand routes avif away from the mp4 parser; truncation -> NULL."""
+    from osm_pbf2json_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        parse_avif,
+        sniff_format,
+    )
+
+    ispe = _mp4_box(b"ispe", b"\x00\x00\x00\x00" + struct.pack(">II", 1024, 768))
+    ipco = _mp4_box(b"ipco", ispe)
+    iprp = _mp4_box(b"iprp", ipco)
+    meta = _mp4_box(b"meta", b"\x00\x00\x00\x00" + bytes(_mp4_box(b"hdlr", b"\x00" * 8 + b"pict" + b"\x00" * 12)) + bytes(iprp))
+    avif = _mp4_box(b"ftyp", b"avif\x00\x00\x00\x00avifmif1") + meta \
+        + _mp4_box(b"mdat", b"\x00" * 8)
+    assert sniff_format(avif) == "avif"
+    m = parse_avif(avif)
+    assert (m["width"], m["height"]) == (1024, 768)
+    media = spark.createDataFrame(
+        [(1, "image", avif, None), (2, "image", avif[:20], None)], MEDIA_SCHEMA
+    )
+    rows = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert rows[1]["format"] == "avif" and rows[1]["width"] == 1024
+    assert rows[2]["format"] is None
