@@ -112,14 +112,6 @@ _NORM_SQL = (
 )
 
 
-def _norm_col(c):
-    # documents.text is lowercase-ascii by construction; the ascii-only
-    # character class keeps Java regex and RE2 semantics identical
-    t = F.lower(c)
-    t = F.regexp_replace(t, r"[^a-z0-9\s]", " ")
-    return F.trim(F.regexp_replace(t, r"\s+", " "))
-
-
 # ---------------------------------------------------------------------------
 # queries
 

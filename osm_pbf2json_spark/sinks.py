@@ -169,18 +169,6 @@ def boundaries_json_lines(boundaries_df: DataFrame) -> DataFrame:
     )
 
 
-def _deterministic_stroke(id_col: Column) -> Column:
-    """#RRGGBB derived from the street id (reference uses random bytes,
-    output.rs:136-139 — excluded from parity, made deterministic here)."""
-    h = F.abs(F.xxhash64(id_col))
-    return F.format_string(
-        "#%02X%02X%02X",
-        (h % 256).cast("int"),
-        ((h / F.lit(256)).cast("long") % 256).cast("int"),
-        ((h / F.lit(65536)).cast("long") % 256).cast("int"),
-    )
-
-
 def streets_geojson_features(streets_df: DataFrame) -> DataFrame:
     """(value string): one GeoJSON Feature per street, built DISTRIBUTED
     (Arrow-batched) so a planet-scale export writes feature lines from
