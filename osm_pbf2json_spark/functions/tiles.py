@@ -159,6 +159,8 @@ def hex_covering_bbox_batch(
     counts = nlat * nlon
     B = len(counts)
     total = int(counts.sum())
+    if total == 0:  # empty batch: the dedup mask below assumes >=1 point
+        return [np.array([], np.int64)] * B
     bbox_of = np.repeat(np.arange(B), counts)
     offs = np.concatenate([[0], np.cumsum(counts[:-1])])
     within = np.arange(total) - np.repeat(offs, counts)
@@ -290,7 +292,11 @@ def quad_covering_bbox_batch(
     i1 = np.minimum(n - 1, ((xmax - _WORLD[0]) / sx).astype(np.int64))
     j0 = np.maximum(0, ((ymin - _WORLD[1]) / sy).astype(np.int64))
     j1 = np.minimum(n - 1, ((ymax - _WORLD[1]) / sy).astype(np.int64))
-    counts = (i1 - i0 + 1) * (j1 - j0 + 1)
+    # a bbox entirely beyond the world bounds yields i0 > i1 after the
+    # clamps — an EMPTY covering (scalar parity), never a negative count
+    nx = np.maximum(0, i1 - i0 + 1)
+    ny = np.maximum(0, j1 - j0 + 1)
+    counts = nx * ny
     if np.any(counts > 2_000_000):
         b = int(np.argmax(counts))
         raise ValueError(
@@ -303,7 +309,7 @@ def quad_covering_bbox_batch(
     bbox_of = np.repeat(np.arange(B), counts)
     offs = np.concatenate([[0], np.cumsum(counts[:-1])])
     within = np.arange(total) - np.repeat(offs, counts)
-    ni = np.repeat(i1 - i0 + 1, counts)
+    ni = np.repeat(nx, counts)
     ii = np.repeat(i0, counts) + within % ni
     jj = np.repeat(j0, counts) + within // ni
     cells = (np.int64(level) << np.int64(58)) | _hilbert_d(level, ii, jj)

@@ -264,6 +264,11 @@ def _gif_lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> list[in
     """GIF-variant LZW: variable-width codes (LSB-first bit packing),
     CLEAR resets the dictionary, dictionary capped at 4096 entries.
     Returns the decoded index stream."""
+    if not 1 <= min_code_size <= 11:
+        # GIF codes are at most 12 bits; a crafted size byte (up to 255)
+        # would otherwise request a 2^255-entry root table — OOM, not a
+        # routable decode error
+        raise ValueError(f"bad GIF LZW minimum code size {min_code_size}")
     clear = 1 << min_code_size
     eoi = clear + 1
     roots = [[i] for i in range(clear)]
@@ -360,15 +365,20 @@ def decode_gif(payload: bytes, max_pixels: int = 64_000_000):
             pos += ncol * 3
         min_code = d[pos]
         pos += 1
+        n_frames += 1
+        if n_frames > 1:
+            # count only: advance past the sub-blocks without copying —
+            # a long animation must not be re-sliced once per frame
+            while pos < len(d) and d[pos]:
+                pos += 1 + d[pos]
+            pos += 1
+            continue
         chunks = []
         while pos < len(d) and d[pos]:
             ln = d[pos]
             chunks.append(d[pos + 1 : pos + 1 + ln])
             pos += 1 + ln
         pos += 1
-        n_frames += 1
-        if n_frames > 1:
-            continue  # count only; first frame is the decoded one
         palette = lct if lct is not None else gct
         if palette is None:
             raise ValueError("GIF frame without a color table")
@@ -514,10 +524,12 @@ def _parse_trak(buf: bytes, pos: int, end: int, out: dict) -> None:
         (n_entries,) = struct.unpack_from(">I", buf, e0 + 4)
         if n_entries and e0 + 16 <= e1:
             codec = buf[e0 + 12 : e0 + 16].decode("latin-1")
-            # audio sample entry: samplerate as 16.16 fixed at offset 24
-            # of the entry body (ISO 14496-12 §12.2.3)
-            if handler == b"soun" and e0 + 8 + 28 <= e1:
-                (r16,) = struct.unpack_from(">I", buf, e0 + 8 + 24)
+            # AudioSampleEntry (ISO 14496-12 §12.2.3): box header (8) +
+            # SampleEntry reserved/data_ref (8) + reserved (8) +
+            # channelcount/samplesize/predefined/reserved (8) →
+            # samplerate as 16.16 fixed at entry start + 32
+            if handler == b"soun" and e0 + 8 + 36 <= e1:
+                (r16,) = struct.unpack_from(">I", buf, e0 + 8 + 32)
                 rate = r16 >> 16
     if codec:
         out["codecs"].append(codec)

@@ -1709,9 +1709,14 @@ def _build_test_mp4() -> bytes:
     trak_v = _mp4_box(b"trak", tkhd_v + mdia_v)
     tkhd_a = _mp4_box(b"tkhd", b"\x00" * 84)
     hdlr_a = _mp4_box(b"hdlr", b"\x00" * 8 + b"soun" + b"\x00" * 12)
+    # spec-conformant AudioSampleEntry (ISO 14496-12 §12.2.3): 8 box
+    # header + 6 reserved + 2 data_ref + 8 reserved + ch(2) ss(2)
+    # predefined(2) reserved(2) + samplerate 16.16 at entry start + 32
     entry_a = (
-        struct.pack(">I", 32) + b"mp4a" + b"\x00" * 16
-        + struct.pack(">I", 44100 << 16) + b"\x00" * 4
+        struct.pack(">I", 36) + b"mp4a"
+        + b"\x00" * 16  # reserved/data_ref/reserved
+        + struct.pack(">HHHH", 2, 16, 0, 0)  # ch, samplesize, pre, res
+        + struct.pack(">I", 44100 << 16)
     )
     stsd_a = _mp4_box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + entry_a)
     mdia_a = _mp4_box(
@@ -2109,3 +2114,40 @@ def test_avif_container_metadata(spark):
     rows = {r["media_id"]: r for r in decode_media(media).collect()}
     assert rows[1]["format"] == "avif" and rows[1]["width"] == 1024
     assert rows[2]["format"] is None
+
+
+def test_gif_crafted_code_size_and_quad_out_of_world():
+    """Review regressions: (1) a crafted GIF LZW minimum-code-size byte
+    (e.g. 0xFF) must raise ValueError, not attempt a 2^255-entry root
+    table; (2) a bbox entirely beyond the world bounds yields an EMPTY
+    quad covering in the batch kernel, matching the scalar one, instead
+    of a negative-dimension crash."""
+    import pytest
+
+    from osm_pbf2json_spark.functions import tiles as T
+    from osm_pbf2json_spark.operators.multimodal import decode_gif
+
+    palette = [(0, 0, 0), (255, 255, 255)]
+    idx = np.zeros((2, 2), np.int64)
+    gif = bytearray(_build_gif(idx, palette))
+    # image descriptor starts after header(6)+LSD(7)+GCT(6): locate 0x2C
+    p = gif.index(0x2C, 13)
+    mcs_pos = p + 10  # descriptor(10 bytes incl. 0x2C) → min code size
+    assert gif[mcs_pos] in (2,)  # sanity: fixture layout
+    gif[mcs_pos] = 0xFF
+    with pytest.raises(ValueError):
+        decode_gif(bytes(gif))
+
+    scalar = T.quad_covering_bbox(190.0, 0.0, 195.0, 1.0, 10, max_cells=None)
+    batch = T.quad_covering_bbox_batch(
+        np.array([190.0, 0.0]), np.array([0.0, 0.0]),
+        np.array([195.0, 1.0]), np.array([1.0, 1.0]), 10,
+    )
+    assert len(scalar) == 0 and len(batch[0]) == 0
+    want = T.quad_covering_bbox(0.0, 0.0, 1.0, 1.0, 10, max_cells=None)
+    assert (batch[1] == want).all()
+    # empty-batch guard on the hex side
+    empty = T.hex_covering_bbox_batch(
+        np.zeros(0), np.zeros(0), np.zeros(0), np.zeros(0), 7
+    )
+    assert empty == []
