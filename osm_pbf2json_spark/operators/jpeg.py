@@ -157,6 +157,10 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self):
+        # trim consumed high bits first: without the mask, cur grows ~8
+        # bits per input byte forever and every shift becomes O(len) —
+        # measured quadratic decode time on real-size payloads
+        self.cur &= (1 << self.nbits) - 1
         d = self.data
         while self.nbits <= 24:
             if self.pos >= len(d):
@@ -242,7 +246,9 @@ def decode_jpeg(payload: bytes, max_pixels: int = 64_000_000):
     payload)."""
     try:
         return _decode_jpeg(payload, max_pixels)
-    except (IndexError, KeyError, struct.error) as e:
+    except (IndexError, KeyError, struct.error, OverflowError) as e:
+        # OverflowError: garbage entropy data can walk the DC predictor
+        # past int64 via valid-looking Huffman codes
         raise ValueError(
             f"malformed JPEG stream ({type(e).__name__}: {e})"
         ) from e
@@ -259,6 +265,7 @@ def _decode_jpeg(payload: bytes, max_pixels: int):
     width = height = 0
     restart_interval = 0
     progressive = False
+    adobe_transform = None  # APP14 color transform (0 = RGB, no YCbCr)
     geom = None  # cid -> (h, v, bx_tot, by_tot, cw, ch)
     coefs: dict[int, np.ndarray] = {}  # cid -> (by_tot, bx_tot, 64) zigzag
     pred: dict[int, int] = {}
@@ -334,6 +341,8 @@ def _decode_jpeg(payload: bytes, max_pixels: int):
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+            adobe_transform = seg[11]  # 0 = RGB/CMYK passthrough
         elif marker == 0xDA:  # SOS — decode this scan's entropy data
             if comps is None:
                 raise ValueError("SOS before SOF")
@@ -381,6 +390,12 @@ def _decode_jpeg(payload: bytes, max_pixels: int):
         return width, height, np.stack([yv, yv, yv], axis=-1)
     if len(chans) != 3:
         raise NotImplementedError(f"{len(chans)}-component JPEG")
+    cids = tuple(c[0] for c in comps)
+    if adobe_transform == 0 or cids == (0x52, 0x47, 0x42):  # 'R','G','B'
+        # Adobe APP14 transform 0 / RGB component ids: planes are stored
+        # as R,G,B — applying the YCbCr matrix would silently produce
+        # garbage colors, so route to the stub path instead
+        raise NotImplementedError("RGB-coded 3-component JPEG (no YCbCr)")
     Y, Cb, Cr = chans
     r = Y + 1.402 * (Cr - 128.0)
     g = Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0)
@@ -463,9 +478,18 @@ def _decode_scan(
     return br.pos
 
 
+def _check_mag(v: int, cap: int) -> int:
+    """Magnitude categories are bounded by T.81 (DC <= 11, AC <= 10 for
+    8-bit precision); a corrupt DHT can map symbols to huge categories,
+    turning br.receive into a 2^200-bit int."""
+    if v > cap:
+        raise ValueError(f"magnitude category {v} exceeds T.81 bound {cap}")
+    return v
+
+
 def _decode_block_baseline(br, dct, act, zz, pred, cid):
     """Baseline DC diff + AC run-length for one full block (T.81 F.2)."""
-    t = _decode_huff(br, dct)
+    t = _check_mag(_decode_huff(br, dct), 11)
     diff = _extend(br.receive(t), t) if t else 0
     pred[cid] += diff
     zz[0] = pred[cid]
@@ -481,7 +505,7 @@ def _decode_block_baseline(br, dct, act, zz, pred, cid):
         k += r
         if k > 63:
             raise ValueError("AC index out of range")
-        zz[k] = _extend(br.receive(ssss), ssss)
+        zz[k] = _extend(br.receive(_check_mag(ssss, 10)), ssss)
         k += 1
 
 
@@ -489,7 +513,7 @@ def _decode_dc(br, htabs, td, cid, pred, zz, ah, al):
     """Progressive DC data unit: first scan codes diffs scaled by 2^Al;
     refinement appends one bit at position Al (T.81 G.1.2.1)."""
     if ah == 0:
-        t = _decode_huff(br, htabs[(0, td)])
+        t = _check_mag(_decode_huff(br, htabs[(0, td)]), 11)
         diff = _extend(br.receive(t), t) if t else 0
         pred[cid] += diff
         zz[0] = pred[cid] << al
@@ -522,7 +546,7 @@ def _decode_ac(br, act, zz, ss, se, ah, al, eobrun):
             k += r
             if k > se:
                 raise ValueError("AC index out of band")
-            zz[k] = _extend(br.receive(s), s) << al
+            zz[k] = _extend(br.receive(_check_mag(s, 10)), s) << al
             k += 1
         return 0
 

@@ -37,7 +37,6 @@ from ..functions.filter_dsl import build_admin_groups, build_street_groups, comp
 from ..functions.geometry import (
     _edges,
     bbox_diag_length,
-    line_centroid,
     midpoint,
     points_in_polygons,
     segments_intersect,
@@ -429,13 +428,22 @@ def _split_batch(pdf: pd.DataFrame, bnds, polys, bb, cand_lists=None) -> list[di
     nb = len(bnds)
     if cand_lists is None:
         if nb:
-            hit = (
-                (bb[None, :, 0] <= sb[:, None, 2])
-                & (bb[None, :, 2] >= sb[:, None, 0])
-                & (bb[None, :, 1] <= sb[:, None, 3])
-                & (bb[None, :, 3] >= sb[:, None, 1])
-            )
-            cand3 = [np.flatnonzero(hit[i]).tolist() for i in range(n)]
+            # chunk the streets axis so the n×nb broadcast stays at ~2M
+            # cells per temporary (a 10k-row batch × 5k broadcast
+            # boundaries would otherwise allocate ~50 MB per comparison)
+            cand3 = []
+            step = max(1, 2_000_000 // nb)
+            for c0 in range(0, n, step):
+                blk = sb[c0 : c0 + step]
+                hit = (
+                    (bb[None, :, 0] <= blk[:, None, 2])
+                    & (bb[None, :, 2] >= blk[:, None, 0])
+                    & (bb[None, :, 1] <= blk[:, None, 3])
+                    & (bb[None, :, 3] >= blk[:, None, 1])
+                )
+                cand3.extend(
+                    np.flatnonzero(hit[i]).tolist() for i in range(len(blk))
+                )
         else:
             cand3 = [[] for _ in range(n)]
     else:

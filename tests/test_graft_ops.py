@@ -2151,3 +2151,61 @@ def test_gif_crafted_code_size_and_quad_out_of_world():
         np.zeros(0), np.zeros(0), np.zeros(0), np.zeros(0), 7
     )
     assert empty == []
+
+
+def test_jpeg_corrupt_dht_and_adobe_rgb(spark):
+    """Review regressions: (1) a corrupt DHT mapping a symbol to a huge
+    magnitude category raises ValueError (previously OverflowError from
+    a 2^200-bit receive, escaping the contract and the Spark kernel's
+    catch); (2) Adobe APP14 transform=0 / RGB component ids raise
+    NotImplementedError instead of silently applying the YCbCr matrix
+    to RGB planes; (3) decode stays fast on larger payloads (the bit
+    reader trims consumed bits — was quadratic)."""
+    import time
+
+    import pytest
+
+    from osm_pbf2json_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from osm_pbf2json_spark.operators.multimodal import MEDIA_SCHEMA, decode_media
+
+    rng = np.random.Generator(np.random.PCG64(41))
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    good = bytearray(encode_jpeg(img, quality=80))
+    # hand-built stream whose DC table maps the (only) code to magnitude
+    # category 200 — br.receive(200) previously built a 2^200-bit int
+    # and OverflowError escaped the ValueError contract
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    from osm_pbf2json_spark.operators.jpeg import _AC_LUMA_SPEC
+
+    bad = bytearray(b"\xff\xd8")
+    bad += seg(0xDB, bytes([0]) + bytes([1] * 64))
+    bad += seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    bad += seg(0xC4, bytes([0x00, 1] + [0] * 15) + bytes([200]))  # DC cat 200!
+    bits, vals = _AC_LUMA_SPEC
+    bad += seg(0xC4, bytes([0x10]) + bytes(bits) + bytes(vals))
+    bad += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    bad += b"\x00\x00" + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
+    media = spark.createDataFrame([(1, "image", bytes(bad), None)], MEDIA_SCHEMA)
+    assert decode_media(media).collect()[0]["format"] is None
+
+    # Adobe APP14 transform=0: splice the marker right after SOI
+    app14 = b"\xff\xee" + struct.pack(">H", 14) + b"Adobe" + b"\x00" * 6 + b"\x00"
+    adobe = bytes(good[:2]) + app14 + bytes(good[2:])
+    with pytest.raises(NotImplementedError, match="RGB"):
+        decode_jpeg(adobe)
+    rows = decode_media(
+        spark.createDataFrame([(1, "image", adobe, None)], MEDIA_SCHEMA)
+    ).collect()
+    assert rows[0]["format"] is None  # stub routing
+
+    # decode time linear-ish in payload size (bit-reader trim)
+    big = rng.integers(0, 256, size=(256, 256, 3), dtype=np.uint8)
+    payload = encode_jpeg(big, quality=95)  # ~100KB of entropy data
+    t0 = time.time()
+    w, h, _ = decode_jpeg(payload)
+    assert (w, h) == (256, 256)
+    assert time.time() - t0 < 20
