@@ -46,12 +46,59 @@ from .closure import EntityTables, closure
 from .resolve import resolve_way_coords
 
 RTREE_PADDING = 0.002  # streets.rs:14
+# target cell count for chunked dense pair/probe matrices (kept small
+# enough that any single boolean/float temporary stays a few MB)
+_PAIR_CHUNK_CELLS = 2_000_000
 
 SEGMENTS_T = "array<struct<way_id:bigint,coords:array<struct<lon:double,lat:double>>>>"
 STREET_SCHEMA = (
     "id bigint, name string, boundary string, length double, "
     f"loc_lon double, loc_lat double, segments {SEGMENTS_T}"
 )
+
+
+def _group_midpoints(
+    px: np.ndarray, py: np.ndarray, gp_start: np.ndarray, gnpts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """A5 mean-then-closest midpoint per group over flattened point
+    buffers (all groups non-empty; `gp_start`/`gnpts` are reduceat
+    offsets/counts).
+
+    Fast path: sequential np.add.reduceat means + first-minimal argmin.
+    numpy's pairwise `.mean()` (the scalar reference `midpoint()`,
+    geo.rs:256-274 semantics) and reduceat's sequential sum differ in
+    the last ulps, which can flip the closest-point argmin only when two
+    points are near-equidistant from the mean — so any group whose
+    winner is within a conservative float-error bound of another
+    candidate is recomputed with the scalar `midpoint()` itself,
+    making batched == scalar on every row without a per-group Python
+    loop in the common case."""
+    mx = np.add.reduceat(px, gp_start) / gnpts
+    my = np.add.reduceat(py, gp_start) / gnpts
+    dx = px - np.repeat(mx, gnpts)
+    dy = py - np.repeat(my, gnpts)
+    d2 = dx * dx + dy * dy
+    dmin = np.minimum.reduceat(d2, gp_start)
+    P = len(px)
+    cand = np.where(d2 == np.repeat(dmin, gnpts), np.arange(P), P)
+    first = np.minimum.reduceat(cand, gp_start)
+    loc_x = px[first]
+    loc_y = py[first]
+    # ambiguity screen: |mean_seq − mean_pairwise| ≤ n·eps·(Σ-scale),
+    # which perturbs d2 by ≤ 2·|p−m|·δ + 2δ²; groups with >1 candidate
+    # inside that band get the exact scalar recompute
+    eps = np.finfo(np.float64).eps
+    gabs = np.maximum.reduceat(np.abs(px) + np.abs(py), gp_start)
+    delta = gnpts * eps * (gabs + np.abs(mx) + np.abs(my))
+    gmaxd = np.maximum.reduceat(np.abs(dx) + np.abs(dy), gp_start)
+    bound = 2.0 * gmaxd * delta + 2.0 * delta * delta
+    near = (d2 <= np.repeat(dmin + bound, gnpts)).astype(np.int64)
+    ambiguous = np.flatnonzero(np.add.reduceat(near, gp_start) > 1)
+    for g in ambiguous.tolist():
+        s0 = int(gp_start[g])
+        s1 = s0 + int(gnpts[g])
+        loc_x[g], loc_y[g] = midpoint(np.column_stack([px[s0:s1], py[s0:s1]]))
+    return loc_x, loc_y
 
 
 def _connected_labels(n: int, ei: np.ndarray, ej: np.ndarray) -> np.ndarray:
@@ -108,19 +155,36 @@ def _union_find_clusters(swx, swy, nex, ney) -> np.ndarray:
         if b1 - b0 < 2:
             continue
         ids = ss[b0:b1]
-        hit = (
-            (swx[ids][:, None] - p <= nex[ids][None, :])
-            & (nex[ids][:, None] + p >= swx[ids][None, :])
-            & (swy[ids][:, None] - p <= ney[ids][None, :])
-            & (ney[ids][:, None] + p >= swy[ids][None, :])
-        )
-        # the reference discovers pairs from BOTH endpoints' padded
-        # R-tree queries (streets.rs:125-141), so an edge exists if
-        # EITHER directional test passes — they can disagree exactly at
-        # pad-boundary floats, where a+p and b-p round differently
-        ii, jj = np.nonzero(np.triu(hit | hit.T, k=1))
-        eis.append(ids[ii])
-        ejs.append(ids[jj])
+        m = len(ids)
+        csx0, csy0 = swx[ids], swy[ids]
+        csx1, csy1 = nex[ids], ney[ids]
+        # chunk the row axis so the pair matrix stays at ~2M cells per
+        # temporary — a mega-dense same-name cell (10⁴+ co-located
+        # segments) must not allocate an m×m boolean block
+        step = max(1, _PAIR_CHUNK_CELLS // m)
+        for c0 in range(0, m, step):
+            c1 = min(c0 + step, m)
+            # the reference discovers pairs from BOTH endpoints' padded
+            # R-tree queries (streets.rs:125-141), so an edge exists if
+            # EITHER directional test passes — they can disagree exactly
+            # at pad-boundary floats, where a+p and b-p round differently
+            fwd = (
+                (csx0[c0:c1, None] - p <= csx1[None, :])
+                & (csx1[c0:c1, None] + p >= csx0[None, :])
+                & (csy0[c0:c1, None] - p <= csy1[None, :])
+                & (csy1[c0:c1, None] + p >= csy0[None, :])
+            )
+            rev = (
+                (csx0[None, :] - p <= csx1[c0:c1, None])
+                & (csx1[None, :] + p >= csx0[c0:c1, None])
+                & (csy0[None, :] - p <= csy1[c0:c1, None])
+                & (csy1[None, :] + p >= csy0[c0:c1, None])
+            )
+            hit = fwd | rev
+            ii, jj = np.nonzero(hit)
+            upper = c0 + ii < jj  # strict upper triangle in global indices
+            eis.append(ids[c0 + ii[upper]])
+            ejs.append(ids[jj[upper]])
     ei = np.concatenate(eis) if eis else np.empty(0, np.int64)
     ej = np.concatenate(ejs) if ejs else np.empty(0, np.int64)
     return _connected_labels(n, ei, ej)
@@ -217,14 +281,7 @@ def _cluster_group(pdf: pd.DataFrame) -> pd.DataFrame:
     py = flat_y[gather]
     cnpts = np.add.reduceat(plen, cstart)
     cpstart = np.concatenate([[0], np.cumsum(cnpts[:-1])])
-    mx = np.add.reduceat(px, cpstart) / cnpts
-    my = np.add.reduceat(py, cpstart) / cnpts
-    d2 = (px - np.repeat(mx, cnpts)) ** 2 + (py - np.repeat(my, cnpts)) ** 2
-    # first minimal index per component (np.argmin first-match rule)
-    dmin = np.minimum.reduceat(d2, cpstart)
-    P = len(px)
-    cand = np.where(d2 == np.repeat(dmin, cnpts), np.arange(P), P)
-    first = np.minimum.reduceat(cand, cpstart)
+    loc_x, loc_y = _group_midpoints(px, py, cpstart, cnpts)
 
     cend = np.concatenate([cstart[1:], [len(glex)]])
     rows = {
@@ -232,8 +289,8 @@ def _cluster_group(pdf: pd.DataFrame) -> pd.DataFrame:
         "name": [name] * ncomp,
         "boundary": [None] * ncomp,
         "length": length,
-        "loc_lon": px[first],
-        "loc_lat": py[first],
+        "loc_lon": loc_x,
+        "loc_lat": loc_y,
         "segments": [
             [
                 {
@@ -432,7 +489,7 @@ def _split_batch(pdf: pd.DataFrame, bnds, polys, bb, cand_lists=None) -> list[di
             # cells per temporary (a 10k-row batch × 5k broadcast
             # boundaries would otherwise allocate ~50 MB per comparison)
             cand3 = []
-            step = max(1, 2_000_000 // nb)
+            step = max(1, _PAIR_CHUNK_CELLS // nb)
             for c0 in range(0, n, step):
                 blk = sb[c0 : c0 + step]
                 hit = (
@@ -512,7 +569,7 @@ def _split_batch(pdf: pd.DataFrame, bnds, polys, bb, cand_lists=None) -> list[di
             )
             owner_t = np.repeat(np.arange(len(idxs)), e_cnt)
             # chunk the E×R orientation matrix at ~2M cells
-            step = max(1, 2_000_000 // max(1, len(redges)))
+            step = max(1, _PAIR_CHUNK_CELLS // max(1, len(redges)))
             for c0 in range(0, len(eidx), step):
                 m = segments_intersect(E_all[eidx[c0 : c0 + step]], redges).any(
                     axis=1
@@ -622,17 +679,7 @@ def _split_batch(pdf: pd.DataFrame, bnds, polys, bb, cand_lists=None) -> list[di
         gnz = gnpts > 0
         if gnz.any():
             gp_start = (np.concatenate([[0], np.cumsum(gnpts[:-1])]))[gnz]
-            mx = np.add.reduceat(px, gp_start) / gnpts[gnz]
-            my = np.add.reduceat(py, gp_start) / gnpts[gnz]
-            d2 = (px - np.repeat(mx, gnpts[gnz])) ** 2 + (
-                py - np.repeat(my, gnpts[gnz])
-            ) ** 2
-            dmin = np.minimum.reduceat(d2, gp_start)
-            P = len(px)
-            candm = np.where(d2 == np.repeat(dmin, gnpts[gnz]), np.arange(P), P)
-            firstp = np.minimum.reduceat(candm, gp_start)
-            loc_x[gnz] = px[firstp]
-            loc_y[gnz] = py[firstp]
+            loc_x[gnz], loc_y[gnz] = _group_midpoints(px, py, gp_start, gnpts[gnz])
 
         for g, (b0, b1) in enumerate(zip(cuts.tolist(), cend.tolist())):
             out_rows.append(

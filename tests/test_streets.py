@@ -311,3 +311,132 @@ def test_split_batch_matches_scalar_reference():
     got = norm(_split_batch(pdf, bnds, polys, bb))
     want = norm(scalar_split(pdf, bnds, polys, bb))
     assert got == want
+
+
+def test_union_find_dense_cell_chunked():
+    """VERDICT r4 #3: a mega-dense same-name cell (10⁴ co-located
+    segments, all within one 0.02° grid cell) must not allocate the
+    dense m×m pair matrix — the chunked kernel bounds every boolean
+    temporary at ~_PAIR_CHUNK_CELLS cells (a 10⁴² block would be 100 MB;
+    the cap keeps peak allocation ~2 MB per temporary) and still
+    produces the single connected component streets.rs:125-141 implies
+    for mutually overlapping padded bboxes."""
+    import tracemalloc
+
+    import numpy as np
+
+    from osm_pbf2json_spark.operators.streets import _union_find_clusters
+
+    rng = np.random.default_rng(11)
+    n = 10_000
+    # all inside one 0.02° cell → one bucket of 10k segments
+    x0 = rng.uniform(0.001, 0.015, n)
+    y0 = rng.uniform(0.001, 0.015, n)
+    x1 = x0 + rng.uniform(0, 0.003, n)
+    y1 = y0 + rng.uniform(0, 0.003, n)
+    tracemalloc.start()
+    labels = _union_find_clusters(x0, y0, x1, y1)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    # bboxes spread over ~0.017° with pad 0.002 → everything chains into
+    # one component
+    assert len(set(labels.tolist())) == 1
+    # the dominant allocations are the O(n) edge arrays; the pair
+    # matrices stay chunk-bounded (un-chunked would need >100 MB here)
+    assert peak < 400 * 1024 * 1024
+
+
+def test_union_find_chunked_matches_unchunked(monkeypatch):
+    """Forcing a tiny chunk must not change the component labels."""
+    import numpy as np
+
+    from osm_pbf2json_spark.operators import streets as st
+
+    rng = np.random.default_rng(5)
+    n = 600
+    x0 = rng.uniform(0, 0.2, n)
+    y0 = rng.uniform(0, 0.2, n)
+    x1 = x0 + rng.uniform(0, 0.01, n)
+    y1 = y0 + rng.uniform(0, 0.01, n)
+    full = st._union_find_clusters(x0, y0, x1, y1)
+    monkeypatch.setattr(st, "_PAIR_CHUNK_CELLS", 7)
+    tiny = st._union_find_clusters(x0, y0, x1, y1)
+    assert (full == tiny).all()
+
+
+def test_group_midpoints_matches_scalar_midpoint():
+    """ADVICE r4: the batched sequential-reduceat group mean can differ
+    from the scalar pairwise midpoint() mean in the last ulps; the
+    ambiguity screen must recompute any group where that could flip the
+    closest-point argmin. Exercised with large groups (>128 points,
+    where numpy's pairwise summation actually diverges from reduceat)
+    plus exact symmetric ties."""
+    import numpy as np
+
+    from osm_pbf2json_spark.functions.geometry import midpoint
+    from osm_pbf2json_spark.operators.streets import _group_midpoints
+
+    rng = np.random.default_rng(17)
+    groups = []
+    for t in range(120):
+        m = int(rng.integers(2, 800))
+        base = rng.uniform(-180, 180)
+        pts = base + rng.standard_normal((m, 2)) * rng.uniform(1e-6, 10)
+        groups.append(pts)
+    # exact symmetric tie: two points equidistant from the mean — the
+    # first-minimal rule must pick the first in both formulations
+    groups.append(np.array([[1.0, 0.0], [-1.0, 0.0], [0.5, 0.5], [-0.5, 0.5]]))
+    counts = np.array([len(g) for g in groups], dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts[:-1])])
+    px = np.concatenate([g[:, 0] for g in groups])
+    py = np.concatenate([g[:, 1] for g in groups])
+    lx, ly = _group_midpoints(px, py, starts, counts)
+    for i, g in enumerate(groups):
+        ex, ey = midpoint(g)
+        assert lx[i] == ex and ly[i] == ey, f"group {i}"
+
+
+def test_group_midpoints_adversarial_ulp_flip():
+    """Constructs groups where the raw reduceat fast path PROVABLY picks
+    a different point than the scalar pairwise midpoint() (mixed-
+    magnitude sums + two candidates symmetric about the mean, so the
+    last-ulp mean difference flips the argmin), then asserts the
+    ambiguity screen routes them to the exact scalar recompute."""
+    import numpy as np
+
+    from osm_pbf2json_spark.functions.geometry import midpoint
+    from osm_pbf2json_spark.operators.streets import _group_midpoints
+
+    rng = np.random.default_rng(0)
+    flips = []
+    for trial in range(200):
+        m = int(rng.integers(130, 400))
+        vals = rng.standard_normal(m) * (10.0 ** rng.integers(-3, 4, m))
+        pts = np.column_stack([vals, rng.standard_normal(m) * 0.01])
+        cx = pts[:, 0].mean()
+        D = rng.uniform(0.1, 1.0)
+        g = np.vstack([pts, [[cx - D, 0.0], [cx + D, 0.0]]])
+        for _ in range(6):
+            cx2 = g[:, 0].mean()
+            g[-2, 0] = cx2 - D
+            g[-1, 0] = cx2 + D
+        px, py = g[:, 0].copy(), g[:, 1].copy()
+        n = len(g)
+        fmx = np.add.reduceat(px, [0])[0] / n
+        fmy = np.add.reduceat(py, [0])[0] / n
+        d2 = (px - fmx) ** 2 + (py - fmy) ** 2
+        fi = int(np.argmin(d2))
+        ex, ey = midpoint(g)
+        if (px[fi], py[fi]) != (ex, ey):
+            flips.append(g)
+    # the construction must actually produce fast-path flips, otherwise
+    # this test pins nothing
+    assert len(flips) >= 1
+    counts = np.array([len(g) for g in flips], dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts[:-1])])
+    px = np.concatenate([g[:, 0] for g in flips])
+    py = np.concatenate([g[:, 1] for g in flips])
+    lx, ly = _group_midpoints(px, py, starts, counts)
+    for i, g in enumerate(flips):
+        ex, ey = midpoint(g)
+        assert lx[i] == ex and ly[i] == ey, f"flip group {i}"
