@@ -308,7 +308,34 @@ def test_split_batch_matches_scalar_reference():
             ))
         return sorted(out)
 
-    got = norm(_split_batch(pdf, bnds, polys, bb))
+    # the batched kernel consumes the pre-flattened parallel-column
+    # layout that _segments_flat_cols builds JVM-side
+    flat_pdf = pd.DataFrame(
+        {
+            "id": pdf["id"], "name": pdf["name"], "boundary": pdf["boundary"],
+            "length": pdf["length"],
+            "loc_lon": pdf["loc_lon"], "loc_lat": pdf["loc_lat"],
+            "_wids": [
+                np.array([s["way_id"] for s in segs], np.int64)
+                for segs in pdf["segments"]
+            ],
+            "_npts": [
+                np.array([len(s["lons"]) for s in segs], np.int64)
+                for segs in pdf["segments"]
+            ],
+            "_flons": [
+                np.concatenate([np.asarray(s["lons"], np.float64) for s in segs])
+                if segs else np.zeros(0)
+                for segs in pdf["segments"]
+            ],
+            "_flats": [
+                np.concatenate([np.asarray(s["lats"], np.float64) for s in segs])
+                if segs else np.zeros(0)
+                for segs in pdf["segments"]
+            ],
+        }
+    )
+    got = norm(_split_batch(flat_pdf, bnds, polys, bb))
     want = norm(scalar_split(pdf, bnds, polys, bb))
     assert got == want
 
