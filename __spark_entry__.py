@@ -318,7 +318,10 @@ def q_j6_bbox_self_join(spark, sf_dir):
 
 def q_tile_assign(spark, sf_dir):
     """Raster↔vector: planar-grid tile id per point (SQL-mirrorable grid;
-    the hex/Hilbert variants are covered rows-only + in pytest)."""
+    the hex/Hilbert variants are covered rows-only + in pytest).
+    r5: consolidated into tile_histogram's driver row — the per-tile
+    count/min/max/sum digest pins every point's assignment, freeing a
+    registry slot for streets_split_e2e."""
     pts = _points(spark, sf_dir)
     s = 0.5
     return pts.select(
@@ -331,11 +334,19 @@ def q_tile_assign(spark, sf_dir):
 
 
 def q_tile_histogram(spark, sf_dir):
-    """Tile → contained-geometry rollup (the inverse direction)."""
+    """Tile → contained-geometry rollup (the inverse direction). The
+    digest also pins tile_assign (consolidated r5): count + min + max +
+    sum of point ids per tile — any single misassigned point perturbs
+    two tiles' sums."""
     return (
         q_tile_assign(spark, sf_dir)
         .groupBy("tile")
-        .agg(F.count("*").alias("n"), F.min("point_id").alias("min_id"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("point_id").alias("min_id"),
+            F.max("point_id").alias("max_id"),
+            F.sum("point_id").alias("sum_id"),
+        )
     )
 
 
@@ -847,6 +858,140 @@ def q_streets_e2e(spark, sf_dir):
     )
 
 
+def q_streets_split_e2e(spark, sf_dir):
+    """The composed J3→J7/A9 boundary-split path (streets.rs:56-102) as
+    a DRIVER oracle row (VERDICT r4 #6), forced through the DISTRIBUTED
+    cell-join split (max_broadcast_boundaries=0 — the 100-TB path; the
+    broadcast path is pinned by the Wilhelmstraße goldens and the
+    randomized parity test).
+
+    Generator design makes every stage exactly SQL-expressible:
+    - streets are SINGLE-NODE ways (SegmentGeometry::new needs only ≥1
+      point, streets.rs:119-123), so J4 'segment intersects polygon'
+      reduces to the head-point containment branch and J5's line
+      centroid degenerates to the point itself;
+    - boundaries are 150 axis-aligned square PAIRS sharing a name
+      ('B000' twice, …) with a 0.01° gap at x0+{0.445,0.455}, so PIP is
+      a strict bbox comparison and the same-name merge (streets.rs:75-78)
+      is exercised by clusters chaining across the gap;
+    - every 100 consecutive orderkeys form one CHAIN stepping 0.0015°
+      in x (≤ the 0.002 pad, streets.rs:14) at constant y — chain span
+      0.1485° crosses the intra-pair gap AND the 1.0° cell pitch, so
+      chains reach the NEXT pair's differently-named square: true A9
+      multi-row splits;
+    - all coordinates sit ≥2e-4 off every square edge (x in 1e-4 units
+      ≡ 2 mod 5; edge fractions {0, .445, .455, .995, .9} ≡ 0 mod 5),
+      so ray-cast vs strict-compare PIP agree exactly;
+    - gap/unowned segments exercise the J7 first-candidate fallback in
+      (admin_level, name, relation_id) order; streets outside every
+      boundary bbox pass through with NULL boundary.
+
+    Digest: per (street, owner-name) group id = XOR of way ids (A3) +
+    n_segments; loc/length are pinned by street_attrs + pytest."""
+    from osm_pbf2json_spark.operators.closure import EntityTables
+    from osm_pbf2json_spark.operators.streets import streets
+
+    orders = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    # 100 consecutive orderkeys = one CHAIN of points stepping 0.0015°
+    # in x (≤ the 0.002 pad → one connected component) at constant y;
+    # chain span 0.1485° deliberately exceeds both the intra-pair gap
+    # (0.445→0.455) and the cell pitch (0.995→1.0), so chains produce
+    # gap segments (J7 fallback), same-name two-rid ownership (merge)
+    # and cross-cell different-name ownership (true A9 splits). The
+    # offset lattice (units of 1.5e-3 + 2e-4) never lands on a square
+    # edge fraction {0, .445, .455, .995}: x in 1e-4 units ≡ 2 (mod 5),
+    # edges ≡ 0 (mod 5).
+    chain = F.floor(ok / 100)
+    st_nodes = orders.select(
+        ok.alias("id"),
+        (
+            (chain % 67) * F.lit(0.15)
+            + (ok % 100) * F.lit(0.0015) + F.lit(0.0002)
+        ).alias("lon"),
+        ((chain % 138) * F.lit(0.05) + F.lit(0.0002)).alias("lat"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    hw_values = ["primary", "secondary", "tertiary", "residential",
+                 "service", "living_street", "pedestrian"]
+    st_ways = orders.select(
+        ok.alias("id"),
+        F.array(ok).alias("refs"),
+        F.create_map(
+            F.lit("highway"),
+            F.element_at(
+                F.array(*[F.lit(v) for v in hw_values]),
+                (ok % 7 + 1).cast("int"),
+            ),
+            F.lit("name"),
+            F.concat(F.lit("Street "), (chain % 40).cast("string")),
+        ).alias("tags"),
+    )
+
+    # 300 boundary relations = 150 same-name square pairs; entity ids
+    # offset to 5/6/7M (street way/node ids stay < 5M at driver SFs)
+    bids = spark.range(300).select(F.col("id").alias("bid"))
+    pair = F.floor(F.col("bid") / 2)
+
+    corners = bids.select(
+        "bid", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("c")
+    )
+    b_nodes = corners.select(
+        (F.lit(5000000) + F.col("bid") * 4 + F.col("c")).alias("id"),
+        (
+            F.floor(F.floor(F.col("bid") / 2) / 10).cast("double")
+            + F.when(F.col("c").isin(2, 3), F.lit(0.9)).otherwise(F.lit(0.0))
+        ).alias("lat"),
+        (
+            (F.floor(F.col("bid") / 2) % 10).cast("double")
+            + F.when(F.col("bid") % 2 == 1, F.lit(0.455)).otherwise(F.lit(0.0))
+            + F.when(
+                F.col("c").isin(1, 2),
+                F.when(F.col("bid") % 2 == 1, F.lit(0.54)).otherwise(F.lit(0.445)),
+            ).otherwise(F.lit(0.0))
+        ).alias("lon"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    edges = bids.select("bid", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("e"))
+
+    def node_id(corner):
+        return F.lit(5000000) + F.col("bid") * 4 + corner
+
+    fwd = F.array(node_id(F.col("e")), node_id((F.col("e") + 1) % 4))
+    rev = F.array(node_id((F.col("e") + 1) % 4), node_id(F.col("e")))
+    b_ways = edges.select(
+        (F.lit(6000000) + F.col("bid") * 4 + F.col("e")).alias("id"),
+        F.when(F.col("e") == 2, rev).otherwise(fwd).alias("refs"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    b_rels = bids.select(
+        (F.lit(7000000) + F.col("bid")).alias("id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(3)),
+            lambda e: F.struct(
+                F.lit("way").alias("mtype"),
+                (F.lit(6000000) + F.col("bid") * 4 + e).cast("bigint").alias("mid"),
+                F.lit("outer").alias("role"),
+            ),
+        ).alias("members"),
+        F.create_map(
+            F.lit("boundary"), F.lit("administrative"),
+            F.lit("admin_level"), F.lit("8"),
+            F.lit("name"),
+            F.concat(F.lit("B"), F.lpad(pair.cast("string"), 3, "0")),
+        ).alias("tags"),
+    )
+
+    nodes = st_nodes.unionByName(b_nodes).localCheckpoint(eager=False)
+    ways = st_ways.unionByName(b_ways).localCheckpoint(eager=False)
+    out = streets(
+        EntityTables(nodes, ways, b_rels), boundary=8, max_broadcast_boundaries=0
+    )
+    return out.select(
+        "id", "name", "boundary", F.size("segments").alias("n_segments")
+    )
+
+
 def q_objects_e2e(spark, sf_dir):
     """objects() end-to-end (F1→S2→F8→J1→A6/A7→O1) at generator scale:
     nodes from customer, open-polyline ways from orders (last ref
@@ -1269,10 +1414,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     micro-query groups (a3/a4/a6 → street_attrs, hex/quad_tiles →
     tile_encodes, text_stats/lang_id/quality_score/repetition →
     text_metrics, url_canonical/url_dedup → url_metrics) so every
-    SQL-expressible operator has a driver correctness row."""
+    SQL-expressible operator has a driver correctness row; r5
+    consolidated tile_assign into tile_histogram's strengthened digest
+    to free the slot for streets_split_e2e (the composed J3→J7/A9
+    split path through the distributed cell join)."""
     return {
         # reference-parity e2e pipelines
         "streets_e2e": q_streets_e2e,
+        "streets_split_e2e": q_streets_split_e2e,
         "objects_e2e": q_objects_e2e,
         "boundaries_e2e": q_boundaries_e2e,
         "objects_poly": q_objects_poly,
@@ -1291,7 +1440,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j5b_pip_cells": q_j5b_pip_cells,
         "j6_bbox_self_join": q_j6_bbox_self_join,
         # spatial grids / tiles
-        "tile_assign": q_tile_assign,
         "tile_histogram": q_tile_histogram,
         "tile_encodes": q_tile_encodes,
         "tile_pyramid": q_tile_pyramid,
@@ -1859,6 +2007,111 @@ def _streets_e2e_sql() -> str:
     """
 
 
+def _streets_split_e2e_sql() -> str:
+    """Mirror of q_streets_split_e2e (distributed J3→J7/A9 split).
+
+    Single-node ways + axis-aligned square boundaries make every stage
+    exact SQL: padded-bbox clustering — chains run along x at EXACTLY
+    constant y (one double per chain) and cross-name/cross-y links are
+    impossible (Δy ≥ 0.05 ≫ pad), so transitive connectivity within a
+    (name, y) group is 1-D and reduces to the consecutive-sorted-gap
+    test with the engine's own two directional float clauses OR'd (no
+    recursive CTE; an interval argument makes this exact: a gap > pad
+    between sorted neighbours cannot be spanned by any edge) → J3
+    component-bbox × square-bbox overlap → J4 any
+    head-point strictly inside (the only intersect branch single-point
+    segments can take) → J5 ownership by containment (squares are
+    disjoint, so the first-match scan reduces to the unique container)
+    → J7 fallback = first candidate in (name, rid) order (admin_level
+    ties) → A3 XOR + segment count per (component, owner-name) group,
+    same-name pairs merging; no-candidate components pass through with
+    NULL boundary."""
+    return """
+        WITH RECURSIVE pts AS (
+          SELECT o_orderkey AS way_id,
+                 (CAST(floor(o_orderkey / 100.0) AS BIGINT) % 67) * CAST(0.15 AS DOUBLE)
+                   + (o_orderkey % 100) * CAST(0.0015 AS DOUBLE)
+                   + CAST(0.0002 AS DOUBLE) AS x,
+                 (CAST(floor(o_orderkey / 100.0) AS BIGINT) % 138) * CAST(0.05 AS DOUBLE)
+                   + CAST(0.0002 AS DOUBLE) AS y,
+                 'Street '
+                   || CAST(CAST(floor(o_orderkey / 100.0) AS BIGINT) % 40 AS VARCHAR)
+                   AS name
+          FROM orders),
+        sq AS (
+          SELECT CAST(7000000 + bid AS BIGINT) AS rid,
+                 'B' || lpad(CAST(CAST(floor(bid / 2.0) AS BIGINT) AS VARCHAR), 3, '0')
+                   AS bname,
+                 CAST(CAST(floor(bid / 2.0) AS BIGINT) % 10 AS DOUBLE)
+                   + CASE WHEN bid % 2 = 1 THEN CAST(0.455 AS DOUBLE)
+                          ELSE CAST(0.0 AS DOUBLE) END AS bx0,
+                 CAST(CAST(floor(floor(bid / 2.0) / 10.0) AS BIGINT) AS DOUBLE) AS by0,
+                 CASE WHEN bid % 2 = 1 THEN CAST(0.54 AS DOUBLE)
+                      ELSE CAST(0.445 AS DOUBLE) END AS w
+          FROM range(0, 300) t(bid)),
+        sqb AS (SELECT rid, bname, bx0, by0, bx0 + w AS bx1,
+                       by0 + CAST(0.9 AS DOUBLE) AS by1
+                FROM sq),
+        brk AS (
+          SELECT way_id, name, x, y,
+                 CASE WHEN lag(x) OVER w IS NULL THEN 1
+                      WHEN (lag(x) OVER w + CAST(0.002 AS DOUBLE) >= x
+                            OR x - CAST(0.002 AS DOUBLE) <= lag(x) OVER w)
+                           THEN 0
+                      ELSE 1 END AS is_break
+          FROM pts
+          WINDOW w AS (PARTITION BY name, y ORDER BY x, way_id)),
+        segd AS (
+          SELECT way_id, name, x, y,
+                 sum(is_break) OVER (PARTITION BY name, y ORDER BY x, way_id
+                                     ROWS UNBOUNDED PRECEDING) AS seg
+          FROM brk),
+        comp AS (
+          SELECT way_id,
+                 min(way_id) OVER (PARTITION BY name, y, seg) AS cid
+          FROM segd),
+        cb AS (SELECT c.cid, min(p.x) AS sx0, max(p.x) AS sx1,
+                      min(p.y) AS sy0, max(p.y) AS sy1
+               FROM comp c JOIN pts p USING (way_id) GROUP BY c.cid),
+        cand AS (
+          SELECT cb.cid, s.rid, s.bname, s.bx0, s.bx1, s.by0, s.by1
+          FROM cb JOIN sqb s
+            ON s.bx0 <= cb.sx1 AND s.bx1 >= cb.sx0
+           AND s.by0 <= cb.sy1 AND s.by1 >= cb.sy0
+          WHERE EXISTS (
+            SELECT 1 FROM comp c2 JOIN pts p2 USING (way_id)
+            WHERE c2.cid = cb.cid
+              AND p2.x > s.bx0 AND p2.x < s.bx1
+              AND p2.y > s.by0 AND p2.y < s.by1)),
+        fb AS (SELECT cid, bname AS fb_name
+               FROM (SELECT cid, bname,
+                            row_number() OVER (PARTITION BY cid
+                                               ORDER BY bname, rid) AS rn
+                     FROM cand)
+               WHERE rn = 1),
+        owned AS (
+          SELECT c.cid, p.name, c.way_id,
+                 coalesce(s.bname, fb.fb_name) AS boundary
+          FROM comp c
+          JOIN pts p USING (way_id)
+          JOIN fb ON fb.cid = c.cid
+          LEFT JOIN cand s
+            ON s.cid = c.cid
+           AND p.x > s.bx0 AND p.x < s.bx1
+           AND p.y > s.by0 AND p.y < s.by1)
+        SELECT bit_xor(way_id) AS id, name, boundary,
+               CAST(count(*) AS INT) AS n_segments
+        FROM owned GROUP BY cid, name, boundary
+        UNION ALL
+        SELECT bit_xor(c.way_id) AS id, p.name,
+               CAST(NULL AS VARCHAR) AS boundary,
+               CAST(count(*) AS INT) AS n_segments
+        FROM comp c JOIN pts p USING (way_id)
+        WHERE c.cid NOT IN (SELECT cid FROM fb)
+        GROUP BY c.cid, p.name
+    """
+
+
 def _embedding_neardup_sql(
     threshold: float = 0.45, n_planes: int = 4, dim: int = 64, seed: int = 42
 ) -> str:
@@ -2353,20 +2606,16 @@ def oracle_sql() -> dict[str, str]:
              AND l.x0 - 0.002 <= r.x1 AND l.x1 + 0.002 >= r.x0
              AND l.y0 - 0.002 <= r.y1 AND l.y1 + 0.002 >= r.y0
         """,
-        "tile_assign": f"""
-            WITH pts AS ({_POINTS_SQL})
-            SELECT point_id,
-                   CAST(floor((lon + 180.0) / 0.5)
-                        + floor((lat + 90.0) / 0.5) * 720 AS BIGINT) AS tile
-            FROM pts
-        """,
         "tile_histogram": f"""
             WITH pts AS ({_POINTS_SQL}),
             t AS (SELECT point_id,
                          CAST(floor((lon + 180.0) / 0.5)
                               + floor((lat + 90.0) / 0.5) * 720 AS BIGINT) AS tile
                   FROM pts)
-            SELECT tile, count(*) AS n, min(point_id) AS min_id FROM t GROUP BY tile
+            SELECT tile, count(*) AS n, min(point_id) AS min_id,
+                   max(point_id) AS max_id,
+                   CAST(sum(point_id) AS BIGINT) AS sum_id
+            FROM t GROUP BY tile
         """,
         "knn": f"""
             WITH pts AS ({_POINTS_SQL}), q AS ({knn_q}),
@@ -2589,6 +2838,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup": _simhash_sql(10),
         "minhash_lsh": _minhash_sql(0.35, 64, 16),
         "streets_e2e": _streets_e2e_sql(),
+        "streets_split_e2e": _streets_split_e2e_sql(),
         "objects_poly": """
             WITH nodes AS (
               SELECT c_custkey AS id,
