@@ -83,7 +83,14 @@ def sniff_format(payload: bytes) -> str | None:
         if payload[8:12] in (b"avif", b"avis"):
             return "avif"
         return "mp4"
-    if payload[:3] == b"ID3" or _mp3_header(payload, 0) is not None:
+    if payload[:3] == b"ID3":
+        return "mp3"
+    # bare MPEG stream: any byte pair 0xFF 0xEx parses as a frame
+    # header, so arbitrary binary would sniff as mp3 — require TWO
+    # consecutive valid headers (one at 0, one exactly at the first
+    # frame's computed length), as common probers do (ADVICE r4)
+    h = _mp3_header(payload, 0)
+    if h is not None and _mp3_header(payload, max(h[0], 4)) is not None:
         return "mp3"
     return None
 
@@ -519,6 +526,7 @@ def _parse_trak(buf: bytes, pos: int, end: int, out: dict) -> None:
                                     stsd = (e0, e1)
     codec = None
     rate = None
+    coded_wh = None
     if stsd is not None:
         e0, e1 = stsd
         (n_entries,) = struct.unpack_from(">I", buf, e0 + 4)
@@ -531,12 +539,25 @@ def _parse_trak(buf: bytes, pos: int, end: int, out: dict) -> None:
             if handler == b"soun" and e0 + 8 + 36 <= e1:
                 (r16,) = struct.unpack_from(">I", buf, e0 + 8 + 32)
                 rate = r16 >> 16
+            # VisualSampleEntry (§12.1.3): box header (8) + SampleEntry
+            # (8) + pre_defined/reserved (16) → coded width/height u16 at
+            # entry start + 32. tkhd carries DISPLAY dims (16.16, aspect-
+            # corrected); anamorphic streams differ, and the coded dims
+            # are what a frame decoder would produce — prefer them when
+            # present (VERDICT r4 #7)
+            if handler == b"vide" and e0 + 8 + 36 <= e1:
+                sw, sh = struct.unpack_from(">HH", buf, e0 + 8 + 32)
+                if sw and sh:
+                    coded_wh = (sw, sh)
     if codec:
         out["codecs"].append(codec)
     if handler == b"vide":
         out["n_video"] += 1
-        if tkhd_wh and out["width"] is None and tkhd_wh[0] and tkhd_wh[1]:
-            out["width"], out["height"] = tkhd_wh
+        wh = coded_wh or (
+            tkhd_wh if tkhd_wh and tkhd_wh[0] and tkhd_wh[1] else None
+        )
+        if wh and out["width"] is None:
+            out["width"], out["height"] = wh
     elif handler == b"soun":
         out["n_audio"] += 1
         if rate and out["sample_rate"] is None:
@@ -651,11 +672,34 @@ def _mp3_header(buf: bytes, pos: int):
     return frame_len, samples, rate
 
 
+def _xing_frame_count(buf: bytes, pos: int) -> int | None:
+    """Frame count from a Xing/Info VBR header in the frame at `pos`,
+    or None. The tag sits after the side-info block, whose size depends
+    on MPEG version and channel mode (MPEG1: 17 mono / 32 otherwise;
+    MPEG2/2.5: 9 / 17); flags bit 0 = frame-count field present."""
+    b1, b3 = buf[pos + 1], buf[pos + 3]
+    ver1 = ((b1 >> 3) & 0x3) == 3
+    mono = ((b3 >> 6) & 0x3) == 3
+    side = (17 if mono else 32) if ver1 else (9 if mono else 17)
+    t = pos + 4 + side
+    if t + 8 > len(buf) or buf[t : t + 4] not in (b"Xing", b"Info"):
+        return None
+    flags = int.from_bytes(buf[t + 4 : t + 8], "big")
+    if not (flags & 0x1) or t + 12 > len(buf):
+        return None
+    n = int.from_bytes(buf[t + 8 : t + 12], "big")
+    return n or None
+
+
 def parse_mp3(payload: bytes) -> dict:
     """MP3 → {sample_rate, duration_ms, n_frames} by walking every frame
-    header (exact for CBR and VBR; header arithmetic only — the Layer
-    III sample decode itself stays stubbed). Skips a leading ID3v2 tag
-    (syncsafe size)."""
+    header (exact for CBR; header arithmetic only — the Layer III
+    sample decode itself stays stubbed). Skips a leading ID3v2 tag
+    (syncsafe size). If the first frame carries a Xing/Info VBR header
+    with a frame count, that count is authoritative for n_frames and
+    duration (the count excludes the Xing frame itself, the mp3info/
+    mutagen convention — a CBR walk over a VBR file misreads frame
+    lengths); the frame walk still validates the leading structure."""
     pos = 0
     if payload[:3] == b"ID3" and len(payload) >= 10:
         sz = 0
@@ -665,6 +709,8 @@ def parse_mp3(payload: bytes) -> dict:
     n_frames = 0
     total_samples = 0
     rate = None
+    xing = None
+    samples_per_frame = None
     while pos + 4 <= len(payload):
         h = _mp3_header(payload, pos)
         if h is None:
@@ -673,12 +719,21 @@ def parse_mp3(payload: bytes) -> dict:
                 continue
             break  # trailing tag/garbage after the frame run
         frame_len, samples, r = h
+        if n_frames == 0:
+            xing = _xing_frame_count(payload, pos)
+            samples_per_frame = samples
         rate = rate or r
         n_frames += 1
         total_samples += samples
         pos += max(frame_len, 4)
     if n_frames == 0 or rate is None:
         raise ValueError("no MP3 frames found")
+    if xing is not None:
+        return {
+            "sample_rate": rate,
+            "duration_ms": int(round(xing * samples_per_frame * 1000.0 / rate)),
+            "n_frames": xing,
+        }
     return {
         "sample_rate": rate,
         "duration_ms": int(round(total_samples * 1000.0 / rate)),
@@ -688,85 +743,118 @@ def parse_mp3(payload: bytes) -> dict:
 
 def decode_one(payload: bytes, dim: int = FEATURE_DIM):
     """payload → (format, width, height, sample_rate, duration_ms,
-    features) for a recognized format, else None."""
+    n_frames, features) for a recognized format, else None. n_frames is
+    set where the decoder actually counts frames (GIF animation walk,
+    MP3 frame/Xing walk) and None for single-image and container-
+    metadata formats (ADVICE r4: the GIF count previously never reached
+    the decode_media schema)."""
     fmt = sniff_format(payload)
     if fmt == "bmp":
         w, h, rgb = decode_bmp(payload)
-        return fmt, w, h, None, None, _image_features(rgb, dim)
+        return fmt, w, h, None, None, None, _image_features(rgb, dim)
     if fmt == "ppm":
         w, h, rgb = decode_ppm(payload)
-        return fmt, w, h, None, None, _image_features(rgb, dim)
+        return fmt, w, h, None, None, None, _image_features(rgb, dim)
     if fmt == "png":
         w, h, rgb = decode_png(payload)
-        return fmt, w, h, None, None, _image_features(rgb, dim)
+        return fmt, w, h, None, None, None, _image_features(rgb, dim)
     if fmt == "jpeg":
         from .jpeg import decode_jpeg
 
         w, h, rgb = decode_jpeg(payload)
-        return fmt, w, h, None, None, _image_features(rgb, dim)
+        return fmt, w, h, None, None, None, _image_features(rgb, dim)
     if fmt == "gif":
         w, h, rgb, n_frames = decode_gif(payload)
-        # animated duration is delay-table driven; report frame count
-        # via duration_ms=None (frames counted, first frame featurized)
-        return fmt, w, h, None, None, _image_features(rgb, dim)
+        # animated: first frame featurized, frame count surfaced
+        # (per-frame delays stay in the stubbed territory)
+        return fmt, w, h, None, None, n_frames, _image_features(rgb, dim)
     if fmt == "wav":
         rate, dur, samples = decode_wav(payload)
-        return fmt, None, None, rate, dur, _audio_features(samples, dim)
+        return fmt, None, None, rate, dur, None, _audio_features(samples, dim)
     if fmt == "webp":
         m = parse_webp(payload)
         # real container dims; VP8/VP8L sample decode is the stubbed part
-        return fmt, m["width"], m["height"], None, None, np.zeros(0, np.float32)
+        return fmt, m["width"], m["height"], None, None, None, np.zeros(0, np.float32)
     if fmt == "avif":
         m = parse_avif(payload)
-        return fmt, m["width"], m["height"], None, None, np.zeros(0, np.float32)
+        return fmt, m["width"], m["height"], None, None, None, np.zeros(0, np.float32)
     if fmt == "mp4":
         m = parse_mp4(payload)
         # REAL container metadata; content features need the stubbed
         # codec-level sample decode → empty feature vector (callers
         # route empty-features rows to the fake/stub path)
-        return fmt, m["width"], m["height"], m["sample_rate"], m["duration_ms"], np.zeros(0, np.float32)
+        return (fmt, m["width"], m["height"], m["sample_rate"],
+                m["duration_ms"], None, np.zeros(0, np.float32))
     if fmt == "mp3":
         m = parse_mp3(payload)
-        return fmt, None, None, m["sample_rate"], m["duration_ms"], np.zeros(0, np.float32)
+        return (fmt, None, None, m["sample_rate"], m["duration_ms"],
+                m["n_frames"], np.zeros(0, np.float32))
     return None
 
 
-def decode_media(media: DataFrame, payload_col: str = "payload", id_col: str = "media_id") -> DataFrame:
-    """Real decode for every recognized payload (BMP/PPM/WAV); rows in
-    unrecognized formats come back with format NULL and empty features —
-    route them to the stub/fake path or an external decoder service.
-    One Arrow-batched kernel, schema identical for all formats."""
+def decode_media(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    error_col: str | None = None,
+) -> DataFrame:
+    """Real decode for every recognized payload; rows in unrecognized
+    formats come back with format NULL and empty features — route them
+    to the stub/fake path or an external decoder service. One
+    Arrow-batched kernel, schema identical for all formats.
+
+    `error_col`: when set, adds a string column carrying the suppressed
+    decoder exception (NULL on success) — without it a genuine decoder
+    regression is indistinguishable from corrupt crawl payloads (ADVICE
+    r4); suppressed counts are also logged per batch to the executor
+    log either way."""
 
     out_schema = (
         "media_id long, format string, width int, height int, "
-        "sample_rate int, duration_ms int, features array<float>"
+        "sample_rate int, duration_ms int, n_frames int, "
+        "features array<float>"
     )
+    if error_col:
+        out_schema += f", {error_col} string"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import logging
+
+        log = logging.getLogger("osm_pbf2json_spark.multimodal")
         for pdf in batches:
             rows = []
+            n_suppressed = 0
             for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                err = None
                 try:
                     d = decode_one(bytes(p) if p is not None else b"")
                 except (NotImplementedError, ValueError, KeyError,
-                        IndexError, struct.error):
+                        IndexError, struct.error) as e:
                     # recognized container but unsupported coding process
                     # (e.g. arithmetic JPEG) OR corrupt/truncated payload
                     # — one bad crawl payload must route to format-NULL,
                     # not fail the whole Spark job
                     d = None
+                    err = f"{type(e).__name__}: {e}"
+                    n_suppressed += 1
                 if d is None:
-                    rows.append((mid, None, None, None, None, None, []))
+                    row = (mid, None, None, None, None, None, None, [])
                 else:
-                    fmt, w, h, rate, dur, feats = d
-                    rows.append((mid, fmt, w, h, rate, dur, feats.tolist()))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "format", "width", "height",
-                    "sample_rate", "duration_ms", "features",
-                ],
-            )
+                    fmt, w, h, rate, dur, nfr, feats = d
+                    row = (mid, fmt, w, h, rate, dur, nfr, feats.tolist())
+                rows.append(row + (err,) if error_col else row)
+            if n_suppressed:
+                log.warning(
+                    "decode_media: %d/%d payloads suppressed to format-NULL",
+                    n_suppressed, len(pdf),
+                )
+            cols = [
+                "media_id", "format", "width", "height",
+                "sample_rate", "duration_ms", "n_frames", "features",
+            ]
+            if error_col:
+                cols.append(error_col)
+            yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(kernel, out_schema)
 
@@ -795,12 +883,12 @@ def decode_features(
                 except (NotImplementedError, ValueError, KeyError,
                         IndexError, struct.error):
                     d = None  # unsupported/corrupt payload → stub routing
-                if d is not None and len(d[5]) == 0:
+                if d is not None and len(d[6]) == 0:
                     # container parsed (mp3/mp4 metadata is real) but the
                     # codec-level sample decode is the stubbed part
                     d = None
                 if d is not None:
-                    feats.append(d[5].tolist())
+                    feats.append(d[6].tolist())
                 elif fake:
                     feats.append(_fake_decode(payload).tolist())
                 else:

@@ -2209,3 +2209,123 @@ def test_jpeg_corrupt_dht_and_adobe_rgb(spark):
     w, h, _ = decode_jpeg(payload)
     assert (w, h) == (256, 256)
     assert time.time() - t0 < 20
+
+
+def test_mp3_sniff_requires_two_consecutive_frames():
+    """ADVICE r4: any 0xFF 0xEx byte pair parses as a lone frame header,
+    so arbitrary binary used to sniff as mp3 and produce bogus metadata
+    rows; the sniffer now demands a second valid header exactly one
+    frame length in (ID3-tagged payloads keep their magic-byte route)."""
+    from osm_pbf2json_spark.operators.multimodal import sniff_format
+
+    # one valid header followed by garbage where frame 2 should start
+    bogus = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x12" * 600
+    assert sniff_format(bogus) is None
+    assert sniff_format(_build_test_mp3(2)) == "mp3"
+    # a single bare frame can't be confirmed; ID3 magic still can
+    assert sniff_format(_build_test_mp3(1)) is None
+    assert sniff_format(_build_test_mp3(1, id3=True)) == "mp3"
+
+
+def _build_xing_mp3(xing_count: int, n_data_frames: int, tag: bytes = b"Xing") -> bytes:
+    """First frame carries a Xing/Info VBR header (MPEG1 stereo → side
+    info 32 bytes; flags bit0 + frame count), then CBR data frames."""
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])
+    first = bytearray(hdr + b"\x00" * (417 - 4))
+    off = 4 + 32
+    first[off : off + 4] = tag
+    first[off + 4 : off + 8] = (0x1).to_bytes(4, "big")
+    first[off + 8 : off + 12] = xing_count.to_bytes(4, "big")
+    frame = hdr + b"\x00" * (417 - 4)
+    return bytes(first) + frame * n_data_frames
+
+
+def test_mp3_xing_vbr_frame_count():
+    """VERDICT r4 #7: a Xing (or Info) header's frame count is
+    authoritative for duration — a CBR walk over a VBR file misreads
+    frame lengths; the walk result is kept only when no Xing tag is
+    present."""
+    from osm_pbf2json_spark.operators.multimodal import parse_mp3
+
+    m = parse_mp3(_build_xing_mp3(100, 5))
+    assert m["n_frames"] == 100
+    assert m["duration_ms"] == round(100 * 1152 * 1000 / 44100)
+    m2 = parse_mp3(_build_xing_mp3(100, 5, tag=b"Info"))
+    assert m2["n_frames"] == 100
+    # zero/absent count → fall back to the frame walk (6 frames total)
+    m3 = parse_mp3(_build_xing_mp3(0, 5))
+    assert m3["n_frames"] == 6
+    # plain CBR unchanged
+    m4 = parse_mp3(_build_test_mp3(10))
+    assert m4["n_frames"] == 10
+
+
+def test_mp4_coded_dims_override_tkhd():
+    """VERDICT r4 #7: the avc1 VisualSampleEntry's coded width/height
+    (what a frame decoder produces) win over tkhd's display dims when
+    they disagree (anamorphic streams); zero-filled sample entries keep
+    the tkhd fallback (the base golden fixture)."""
+    import struct as _s
+
+    from osm_pbf2json_spark.operators.multimodal import parse_mp4
+
+    base = _build_test_mp4()
+    assert parse_mp4(base)["width"] == 640  # zero dims → tkhd fallback
+
+    # rebuild with coded 704x480 in the avc1 entry vs tkhd 640x360
+    # dims at entry-box offset 32: header(8) + SampleEntry(8) +
+    # pre_defined/reserved(16) → width/height u16
+    entry_v = bytearray(_s.pack(">I", 86) + b"avc1" + b"\x00" * 78)
+    entry_v[32:36] = _s.pack(">HH", 704, 480)
+    tkhd_v = _mp4_box(
+        b"tkhd",
+        b"\x00\x00\x00\x0f" + b"\x00" * 72 + _s.pack(">II", 640 << 16, 360 << 16),
+    )
+    hdlr_v = _mp4_box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+    stsd_v = _mp4_box(b"stsd", b"\x00" * 4 + _s.pack(">I", 1) + bytes(entry_v))
+    mdia_v = _mp4_box(b"mdia", hdlr_v + _mp4_box(b"minf", _mp4_box(b"stbl", stsd_v)))
+    trak_v = _mp4_box(b"trak", tkhd_v + mdia_v)
+    mvhd = _mp4_box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + b"\x00" * 8 + _s.pack(">II", 1000, 5500) + b"\x00" * 80,
+    )
+    moov = _mp4_box(b"moov", mvhd + trak_v)
+    ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    m = parse_mp4(ftyp + moov)
+    assert (m["width"], m["height"]) == (704, 480)
+
+
+def test_decode_media_n_frames_and_error_col(spark):
+    """ADVICE r4: (a) the GIF/MP3 frame counts reach the decode_media
+    schema as n_frames; (b) error_col surfaces the suppressed decoder
+    exception so real regressions are distinguishable from corrupt
+    payloads."""
+    from osm_pbf2json_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        encode_bmp,
+    )
+    import numpy as np
+
+    pal = [(10, 20, 30), (200, 100, 50)]
+    anim = _build_gif(np.zeros((4, 4), np.uint8), pal, extra_frame=True)
+    mp3 = _build_test_mp3(9)
+    bmp = encode_bmp(np.full((2, 2, 3), 7, np.uint8))
+    # valid PNG magic, corrupt body → recognized format, decoder raises
+    bad_png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 24
+    media = spark.createDataFrame(
+        [(1, "image", anim, None), (2, "audio", mp3, None),
+         (3, "image", bmp, None), (4, "image", bad_png, None)],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in
+            decode_media(media, error_col="decode_err").collect()}
+    assert rows[1]["format"] == "gif" and rows[1]["n_frames"] == 2
+    assert rows[2]["format"] == "mp3" and rows[2]["n_frames"] == 9
+    assert rows[3]["format"] == "bmp" and rows[3]["n_frames"] is None
+    assert rows[3]["decode_err"] is None
+    assert rows[4]["format"] is None and rows[4]["decode_err"]
+    assert "Error" in rows[4]["decode_err"] or ":" in rows[4]["decode_err"]
+    # default call keeps the plain schema (no error column)
+    plain = decode_media(media).columns
+    assert "decode_err" not in plain and "n_frames" in plain
