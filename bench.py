@@ -268,7 +268,41 @@ def main():
             if r.id() not in keep_ids:
                 r.unpersist()
 
+    def run_steady():
+        """Steady-state throughput: the flagship job on a 32× replicated
+        input (a ≥10s job at sf0.1), so fixed costs — job setup,
+        python-worker spin-up, JIT — amortize to <5%; this is the
+        rows/sec a long-running 100-TB job would see. Runs IMMEDIATELY
+        after the flagship timing (r4's artifact ran it last in a
+        22-query-old JVM, right after the streaming rows' state-store
+        checkpoints, and measured session debris: 1.2s → 2.9s on
+        identical code while the fresh-JVM harness showed the same job
+        *improved*); loadavg is sampled around each timed run so a
+        co-tenant spike is visible in the artifact itself."""
+        srep = 32
+        pts32 = (
+            bench_points(spark, sf_dir)
+            .withColumn("_m", F.explode(F.sequence(F.lit(1), F.lit(srep))))
+            .drop("_m")
+        )
+        best, loads = None, []
+        for _ in range(2):
+            loads.append(round(os.getloadavg()[0], 2))
+            t0 = time.time()
+            spatial.pip_tile_rollup(pts32, GRID_POLYGONS, res=9, grid="hex").count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        loads.append(round(os.getloadavg()[0], 2))
+        clear_stale_blocks()
+        return {
+            "rows": input_rows * srep,
+            "sec": round(best, 3),
+            "rows_per_sec": round(input_rows * srep / best, 1),
+            "loadavg_around": loads,
+        }
+
     timings = {}
+    steady = None
     # best-of-2 steady state (first run pays JIT); a contaminated window
     # gets a third repeat so at least one timing has a chance of landing
     # in a load gap (the bench_scaling.py interleaved-repeat protocol)
@@ -284,39 +318,22 @@ def main():
             best = dt if best is None else min(best, dt)
             clear_stale_blocks()
         timings[name] = round(best, 3)
+        if name == "flagship_pip_tile" and MULT == 1:
+            steady = run_steady()
 
     flagship_sec = timings.get("flagship_pip_tile")
-    value = round(input_rows / flagship_sec, 1) if flagship_sec else 0.0
-
-    # steady-state throughput: the same flagship job on an 8× replicated
-    # input, so fixed costs (job setup, python-worker spin-up) amortize —
-    # this is the rows/sec a long-running 100-TB job would see, reported
-    # ALONGSIDE the mult=1 number (kept for round-over-round continuity)
-    steady = None
-    if flagship_sec and MULT == 1:
-        srep = 8
-        pts8 = (
-            bench_points(spark, sf_dir)
-            .withColumn("_m", F.explode(F.sequence(F.lit(1), F.lit(srep))))
-            .drop("_m")
-        )
-        best = None
-        for _ in range(2):
-            t0 = time.time()
-            spatial.pip_tile_rollup(pts8, GRID_POLYGONS, res=9, grid="hex").count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        clear_stale_blocks()
-        steady = {
-            "rows": input_rows * srep,
-            "sec": round(best, 3),
-            "rows_per_sec": round(input_rows * srep / best, 1),
-        }
+    value_mult1 = round(input_rows / flagship_sec, 1) if flagship_sec else 0.0
+    # headline = the amortized long-job number (the 100-TB-relevant one);
+    # the mult=1 single-shot rows/sec stays alongside for round-over-
+    # round continuity (it is ~half JVM/job overhead at 1.3s, so ±25%
+    # ambient-sensitive — VERDICT r4 #5)
+    value = steady["rows_per_sec"] if steady else value_mult1
 
     prev = _prev_round_queries()
     out = {
         "metric": "spatial_join_tile_assign_rows_per_sec",
         "value": value,
+        "value_mult1_single_shot": value_mult1,
         "unit": "rows/sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
