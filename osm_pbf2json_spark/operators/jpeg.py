@@ -382,7 +382,15 @@ def _decode_jpeg(payload: bytes, max_pixels: int):
             .reshape(by_tot * 8, bx_tot * 8)
         )
         if h != hmax or v != vmax:
-            pl = np.repeat(np.repeat(pl, vmax // v, axis=0), hmax // h, axis=1)
+            # crop the subsampled plane to its valid extent (JPEG A.1.1:
+            # ceil(dim * sampling / max_sampling)) BEFORE upsampling so
+            # block-padding garbage can't bleed through the triangular
+            # filter at the right/bottom edges
+            cw = -(-width * h // hmax)
+            ch = -(-height * v // vmax)
+            pl = pl[:ch, :cw]
+            pl = _upsample(pl, vmax // v, axis=0)
+            pl = _upsample(pl, hmax // h, axis=1)
         chans.append(pl[:height, :width])
 
     if len(chans) == 1:
@@ -402,6 +410,29 @@ def _decode_jpeg(payload: bytes, max_pixels: int):
     b = Y + 1.772 * (Cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return width, height, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _upsample(pl: np.ndarray, factor: int, axis: int) -> np.ndarray:
+    """Chroma upsampling along one axis. Factor 2 uses the IJG "fancy"
+    triangular filter (out[2i] = (3·a[i] + a[i-1])/4, out[2i+1] =
+    (3·a[i] + a[i+1])/4, edges replicated) — the libjpeg-family default,
+    so decodes match javax.imageio/djpeg instead of showing replication
+    blockiness at chroma edges (pinned against ImageIO in
+    test_graft_ops). Other factors fall back to sample replication,
+    exactly as libjpeg's int_upsample does for non-2 factors. Operates
+    on the float plane; the caller's final round absorbs IJG's +1/+2
+    integer biases (±1 max)."""
+    if factor == 1:
+        return pl
+    if factor != 2 or pl.shape[axis] < 2:
+        return np.repeat(pl, factor, axis=axis)
+    a = pl if axis == 0 else pl.T
+    prev = np.concatenate([a[:1], a[:-1]], axis=0)
+    nxt = np.concatenate([a[1:], a[-1:]], axis=0)
+    out = np.empty((a.shape[0] * 2, a.shape[1]), a.dtype)
+    out[0::2] = (3.0 * a + prev) * 0.25
+    out[1::2] = (3.0 * a + nxt) * 0.25
+    return out if axis == 0 else out.T
 
 
 def _decode_scan(
