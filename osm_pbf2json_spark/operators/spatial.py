@@ -690,6 +690,11 @@ def _knn_grid_size(
     return s
 
 
+# rows collected for the most recent knn_join histogram (read by tests
+# asserting the driver-ingress cap; never consumed by the operator)
+_LAST_HIST_ROWS: int | None = None
+
+
 def knn_join(
     points: DataFrame,
     queries,
@@ -842,6 +847,8 @@ def knn_join(
         raise AssertionError(
             f"kNN histogram {len(hist)} rows exceeds cap {max_hist_cells}"
         )
+    global _LAST_HIST_ROWS
+    _LAST_HIST_ROWS = len(hist)  # test observable for the driver-ingress cap
     M, W = 1 << 20, 1 << 21
     harr = np.asarray(hist, dtype=np.float64).reshape(-1, 7)
     hist_arrs = (
