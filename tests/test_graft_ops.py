@@ -2343,9 +2343,15 @@ def _imageio_decode_rgb(spark, path):
 
     jvm = spark._jvm
     img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(os.path.abspath(path)))
+    # normalize to TYPE_INT_RGB (lossless for opaque sources) so indexed
+    # GIF/PNG rasters don't come back as 8-bit palette BMPs
+    rgbimg = jvm.java.awt.image.BufferedImage(img.getWidth(), img.getHeight(), 1)
+    g = rgbimg.createGraphics()
+    g.drawImage(img, 0, 0, None)
+    g.dispose()
     tmp = tempfile.mktemp(suffix=".bmp")
     try:
-        assert jvm.javax.imageio.ImageIO.write(img, "bmp", jvm.java.io.File(tmp))
+        assert jvm.javax.imageio.ImageIO.write(rgbimg, "bmp", jvm.java.io.File(tmp))
         return decode_bmp(open(tmp, "rb").read())
     finally:
         if os.path.exists(tmp):
@@ -2403,3 +2409,80 @@ def test_jpeg_fancy_upsample_kernel():
     # single-sample axis cannot triangulate -> replication
     s = np.array([[3.0]])
     assert np.allclose(_upsample(s, 2, axis=0), [[3.0], [3.0]])
+
+
+def _imageio_argb(spark, path):
+    """ARGB planes from javax.imageio — (rgb uint8 (h,w,3), alpha uint8
+    (h,w)). Used only on small icons: getRGB crosses py4j as one int[]."""
+    import os
+
+    jvm = spark._jvm
+    img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(os.path.abspath(path)))
+    w, h = img.getWidth(), img.getHeight()
+    vals = np.array(
+        list(img.getRGB(0, 0, w, h, None, 0, w)), dtype=np.int64
+    ).reshape(h, w)
+    rgb = np.stack(
+        [(vals >> 16) & 255, (vals >> 8) & 255, vals & 255], axis=-1
+    ).astype(np.uint8)
+    return rgb, ((vals >> 24) & 255).astype(np.uint8)
+
+
+def test_png_gif_external_fixtures_match_imageio(spark):
+    """Pin the lossless-image decoders against javax.imageio on files
+    from EXTERNAL encoders. PNG/GIF are lossless, so the comparison is
+    byte-exact — not a tolerance band:
+
+    - external_rgb.png (Rust-book doc asset, color type 2): every
+      sample byte-identical via the BMP return path.
+    - external_rgba.png (CPython idlelib icon, color type 6): RGB
+      byte-identical wherever alpha == 255 (our decoder drops the
+      alpha plane by documented contract).
+    - external_transparent.gif (CPython test asset): palette decode
+      byte-identical at opaque pixels; transparent pixels render the
+      palette color by documented contract, which ImageIO has no
+      equivalent for.
+    - external_anim.gif (40-frame truncation of a public pyenv screen
+      recording, re-terminated at a block boundary): first frame
+      byte-identical AND the frame count equals ImageIO's
+      getNumImages(true) — pins the LZW + sub-block animation walk
+      against an independent reader."""
+    import os
+
+    from osm_pbf2json_spark.operators.multimodal import decode_gif, decode_png
+
+    here = os.path.join(os.path.dirname(__file__), "data")
+    jvm = spark._jvm
+
+    p = os.path.join(here, "external_rgb.png")
+    w, h, ours = decode_png(open(p, "rb").read())
+    ref = _imageio_decode_rgb(spark, p)
+    assert (w, h) == (ref[0], ref[1]) == (372, 320)
+    assert (ours == ref[2]).all()
+
+    p = os.path.join(here, "external_rgba.png")
+    w, h, ours = decode_png(open(p, "rb").read())
+    rgb, alpha = _imageio_argb(spark, p)
+    assert (w, h) == (48, 48) and rgb.shape == ours.shape
+    m = alpha == 255
+    assert m.any() and (ours[m] == rgb[m]).all()
+
+    p = os.path.join(here, "external_transparent.gif")
+    w, h, ours, nf = decode_gif(open(p, "rb").read())
+    rgb, alpha = _imageio_argb(spark, p)
+    assert nf == 1 and rgb.shape == ours.shape
+    m = alpha == 255
+    assert m.any() and (ours[m] == rgb[m]).all()
+
+    p = os.path.join(here, "external_anim.gif")
+    w, h, ours, nf = decode_gif(open(p, "rb").read())
+    ref = _imageio_decode_rgb(spark, p)
+    assert (w, h) == (ref[0], ref[1]) and (ours == ref[2]).all()
+    iis = jvm.javax.imageio.ImageIO.createImageInputStream(
+        jvm.java.io.File(os.path.abspath(p))
+    )
+    rd = jvm.javax.imageio.ImageIO.getImageReaders(iis).next()
+    rd.setInput(iis)
+    n_ref = rd.getNumImages(True)
+    iis.close()
+    assert nf == n_ref == 40
