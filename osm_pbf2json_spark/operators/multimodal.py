@@ -590,21 +590,32 @@ def parse_avif(payload: bytes) -> dict:
 
 
 def parse_webp(payload: bytes) -> dict:
-    """WebP RIFF container → {width, height, variant, animated}. Real
-    parse of the public container/bitstream headers: VP8 (lossy) frame
-    tag + start code, VP8L (lossless) 14-bit dimension fields, VP8X
-    (extended) 24-bit canvas fields + animation flag. The VP8/VP8L
-    SAMPLE decode (boolean-arithmetic coder / LZ77+Huffman transforms)
-    stays stubbed like the other codec-level gaps."""
+    """WebP RIFF container → {width, height, variant, animated,
+    n_frames, duration_ms}. Real parse of the public container/
+    bitstream headers: VP8 (lossy) frame tag + start code, VP8L
+    (lossless) 14-bit dimension fields, VP8X (extended) 24-bit canvas
+    fields + animation flag; for animations every top-level ANMF chunk
+    is counted and its 24-bit frame duration summed (total animation
+    wall time). n_frames/duration_ms are None for still images. The
+    VP8/VP8L SAMPLE decode (boolean-arithmetic coder / LZ77+Huffman
+    transforms) stays stubbed like the other codec-level gaps."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a WebP payload")
     pos = 12
-    out = {"width": None, "height": None, "variant": None, "animated": False}
+    out = {
+        "width": None, "height": None, "variant": None, "animated": False,
+        "n_frames": None, "duration_ms": None,
+    }
     while pos + 8 <= len(payload):
         fourcc = payload[pos : pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8 : pos + 8 + size]
-        if fourcc == b"VP8 " and len(body) >= 10:
+        if fourcc == b"ANMF" and len(body) >= 16:
+            out["n_frames"] = (out["n_frames"] or 0) + 1
+            out["duration_ms"] = (out["duration_ms"] or 0) + int.from_bytes(
+                body[12:15], "little"
+            )
+        elif fourcc == b"VP8 " and len(body) >= 10:
             if body[3:6] != b"\x9d\x01\x2a":
                 raise ValueError("bad VP8 start code")
             w, h = struct.unpack_from("<HH", body, 6)
@@ -773,8 +784,10 @@ def decode_one(payload: bytes, dim: int = FEATURE_DIM):
         return fmt, None, None, rate, dur, None, _audio_features(samples, dim)
     if fmt == "webp":
         m = parse_webp(payload)
-        # real container dims; VP8/VP8L sample decode is the stubbed part
-        return fmt, m["width"], m["height"], None, None, None, np.zeros(0, np.float32)
+        # real container dims + ANMF animation walk; VP8/VP8L sample
+        # decode is the stubbed part
+        return (fmt, m["width"], m["height"], None, m["duration_ms"],
+                m["n_frames"], np.zeros(0, np.float32))
     if fmt == "avif":
         m = parse_avif(payload)
         return fmt, m["width"], m["height"], None, None, None, np.zeros(0, np.float32)

@@ -2078,15 +2078,34 @@ def test_webp_container_metadata(spark):
                   + (799).to_bytes(3, "little") + (599).to_bytes(3, "little"))])
     m = parse_webp(vp8x)
     assert (m["width"], m["height"], m["animated"]) == (800, 600, True)
+    assert m["n_frames"] is None and m["duration_ms"] is None  # no ANMF yet
+
+    # animation: ANMF chunks counted, 24-bit frame durations summed; the
+    # frame bitstreams live INSIDE the ANMF bodies so the top-level walk
+    # must not mistake them for still-image dims
+    def anmf(dur_ms):
+        return (b"ANMF", b"\x00" * 12 + dur_ms.to_bytes(3, "little")
+                + b"\x00" + b"VP8 " + struct.pack("<I", 0))
+
+    anim = riff([(b"VP8X", bytes([0x02]) + b"\x00" * 3
+                  + (799).to_bytes(3, "little") + (599).to_bytes(3, "little")),
+                 (b"ANIM", b"\x00" * 6),
+                 anmf(100), anmf(200), anmf(50)])
+    m = parse_webp(anim)
+    assert (m["width"], m["height"], m["variant"]) == (800, 600, "extended")
+    assert (m["n_frames"], m["duration_ms"]) == (3, 350)
 
     media = spark.createDataFrame(
-        [(1, "image", vp8, None), (2, "image", vp8[:14], None)], MEDIA_SCHEMA
+        [(1, "image", vp8, None), (2, "image", vp8[:14], None),
+         (3, "image", anim, None)], MEDIA_SCHEMA
     )
     rows = {r["media_id"]: r for r in decode_media(media).collect()}
     assert rows[1]["format"] == "webp"
     assert (rows[1]["width"], rows[1]["height"]) == (320, 240)
     assert rows[1]["features"] == []
     assert rows[2]["format"] is None
+    # animated WebP surfaces the ANMF walk through the decode schema
+    assert (rows[3]["n_frames"], rows[3]["duration_ms"]) == (3, 350)
 
 
 def test_avif_container_metadata(spark):
@@ -2486,3 +2505,44 @@ def test_png_gif_external_fixtures_match_imageio(spark):
     n_ref = rd.getNumImages(True)
     iis.close()
     assert nf == n_ref == 40
+
+
+def test_wav_matches_javax_sound(spark):
+    """Pin WAV encode/decode against javax.sound.sampled (independent
+    JVM codec): header fields (PCM_SIGNED 16-bit mono little-endian,
+    rate, frame count) and the PCM payload itself must agree sample-
+    for-sample with what AudioSystem reads back from our encoder's
+    output."""
+    import os
+    import tempfile
+
+    from osm_pbf2json_spark.operators.multimodal import decode_wav, encode_wav
+
+    rate = 11025
+    t = np.arange(rate // 2) / rate
+    payload = encode_wav(0.25 * np.sin(2 * np.pi * 220 * t), rate)
+    r_rate, dur_ms, samples = decode_wav(payload)
+    assert r_rate == rate and dur_ms == 500
+
+    jvm = spark._jvm
+    tmp = tempfile.mktemp(suffix=".wav")
+    try:
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        jf = jvm.java.io.File(os.path.abspath(tmp))
+        aff = jvm.javax.sound.sampled.AudioSystem.getAudioFileFormat(jf)
+        af = aff.getFormat()
+        assert af.getEncoding().toString() == "PCM_SIGNED"
+        assert int(af.getSampleRate()) == rate
+        assert af.getSampleSizeInBits() == 16 and af.getChannels() == 1
+        assert not af.isBigEndian()
+        assert aff.getFrameLength() == len(samples) == rate // 2
+        ais = jvm.javax.sound.sampled.AudioSystem.getAudioInputStream(jf)
+        raw = bytes(ais.readAllBytes())
+        ais.close()
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    ref = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+    assert len(ref) == len(samples)
+    assert np.array_equal(ref, samples.astype(np.float32))
