@@ -6,7 +6,10 @@ Decode support is format-tiered:
   BMP (24-bit BITMAPINFOHEADER), PPM (P6), WAV (PCM16 via the stdlib
   `wave` module), PNG (8-bit RGB/RGBA, all five scanline filters —
   zlib inflate IS stdlib), GIF (87a/89a palette + LZW + interlace;
-  animated = first frame + frame count), and JPEG — baseline AND
+  animated = first frame + frame count), TIFF (classic, both endians,
+  8-bit gray/RGB/palette strips; none/LZW/deflate/PackBits compression
+  + horizontal predictor; multi-page = first page + page count), and
+  JPEG — baseline AND
   progressive DCT, Huffman, grayscale/YCbCr up to 2×2 subsampling (see
   operators/jpeg.py). These produce real dimensions/sample-rates and
   content features (mean RGB, luma stats, RMS, zero-crossing rate),
@@ -77,6 +80,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "jpeg"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return "webp"
     if len(payload) >= 16 and payload[4:8] == b"ftyp":
@@ -421,6 +426,209 @@ def decode_wav(payload: bytes):
         ch = w.getnchannels()
     mono = raw.reshape(-1, ch).mean(axis=1) / 32768.0
     return rate, int(round(1000.0 * n / rate)), mono
+
+
+# --- TIFF (classic/baseline, both endians) ------------------------------------
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF 6.0 §13 LZW: MSB-first bit packing, CLEAR=256/EOI=257, and
+    the "early change" quirk — the code width bumps when the table
+    reaches 2^width - 1 (one code earlier than GIF's LSB-first LZW).
+    Returns at most `expected` bytes."""
+    out = bytearray()
+    nbits = len(data) * 8
+    bitpos, width = 0, 9
+    table: list[bytes] = []
+    prev = None
+    while len(out) < expected:
+        if bitpos + width > nbits:
+            break  # truncated stream: caller length-checks
+        byte0 = bitpos >> 3
+        window = int.from_bytes(data[byte0 : byte0 + 3].ljust(3, b"\0"), "big")
+        code = (window >> (24 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        if code == 256:  # CLEAR
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width, prev = 9, None
+            continue
+        if code == 257:  # EOI
+            break
+        if not table:
+            raise ValueError("TIFF LZW stream must start with CLEAR")
+        if prev is None:
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("corrupt TIFF LZW code")
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+        out += entry
+        prev = entry
+    return bytes(out[:expected])
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """Apple PackBits RLE (TIFF 6.0 §9)."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i < len(data):
+                out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out[:expected])
+
+
+def decode_tiff(payload: bytes, max_pixels: int = 64_000_000):
+    """Classic TIFF → (width, height, HxWx3 uint8 RGB, n_pages). Both
+    byte orders; baseline 8-bit strip-organized images: photometric
+    0/1 (grayscale, white-is-zero inverted), 2 (RGB; extra samples
+    e.g. alpha dropped, the decode_png contract), 3 (palette, 16-bit
+    colormap scaled to 8); compression 1 (none), 5 (TIFF LZW with
+    early change), 8/32946 (zlib deflate), 32773 (PackBits);
+    horizontal-differencing predictor (tag 317=2); chunky planar only.
+    n_pages walks the IFD chain (multi-page docs: first page decoded,
+    pages counted — the GIF animation contract). Tiled, 16-bit,
+    CCITT/JPEG-compressed and planar=2 files raise (route to
+    format-NULL)."""
+    import zlib
+
+    if payload[:4] == b"II*\x00":
+        en = "<"
+    elif payload[:4] == b"MM\x00*":
+        en = ">"
+    else:
+        raise ValueError("not a classic TIFF payload")
+
+    def u16(o):
+        return struct.unpack_from(en + "H", payload, o)[0]
+
+    def u32(o):
+        return struct.unpack_from(en + "I", payload, o)[0]
+
+    _SZ = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+    def read_ifd(off):
+        n = u16(off)
+        tags = {}
+        for i in range(n):
+            o = off + 2 + i * 12
+            tag, typ, cnt = u16(o), u16(o + 2), u32(o + 4)
+            size = _SZ.get(typ, 1) * cnt
+            vo = o + 8 if size <= 4 else u32(o + 8)
+            if typ == 3:
+                vals = [u16(vo + 2 * k) for k in range(cnt)]
+            elif typ == 4:
+                vals = [u32(vo + 4 * k) for k in range(cnt)]
+            elif typ == 1:
+                vals = list(payload[vo : vo + cnt])
+            else:
+                continue  # rational/ascii tags are irrelevant here
+            tags[tag] = vals
+        return tags, u32(off + 2 + n * 12)
+
+    first = u32(4)
+    tags, nxt = read_ifd(first)
+    n_pages, seen = 1, {first}
+    while nxt and nxt not in seen and n_pages < 10_000:
+        seen.add(nxt)
+        n_pages += 1
+        _, nxt = read_ifd(nxt)
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return v[0]
+
+    width, height = one(256), one(257)
+    if width * height > max_pixels or width == 0 or height == 0:
+        raise ValueError(f"unreasonable dimensions {width}x{height}")
+    spp = one(277, 1)
+    bits = tags.get(258, [1] * spp)
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(f"only 8-bit TIFF samples (bits={bits})")
+    if one(284, 1) != 1:
+        raise NotImplementedError("planar TIFF (284=2)")
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF")
+    comp = one(259, 1)
+    photo = one(262)
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF without consistent strip tables")
+    rps = one(278, height)
+    if rps == 0 or rps > height:
+        rps = height
+    row_bytes = width * spp
+
+    raw = bytearray()
+    rows_left = height
+    for off, cnt in zip(offsets, counts):
+        strip = payload[off : off + cnt]
+        if len(strip) < cnt:
+            raise ValueError("truncated TIFF strip")
+        n_rows = min(rps, rows_left)
+        expected = row_bytes * n_rows
+        if comp == 1:
+            if len(strip) < expected:
+                raise ValueError("short uncompressed TIFF strip")
+            raw += strip[:expected]
+        elif comp == 5:
+            raw += _tiff_lzw_decode(strip, expected)
+        elif comp in (8, 32946):
+            raw += zlib.decompress(strip)[:expected]
+        elif comp == 32773:
+            raw += _packbits_decode(strip, expected)
+        else:
+            raise NotImplementedError(f"TIFF compression {comp}")
+        rows_left -= n_rows
+    if len(raw) < row_bytes * height:
+        raise ValueError("TIFF strips shorter than image")
+
+    arr = np.frombuffer(bytes(raw), np.uint8, row_bytes * height).reshape(
+        height, width, spp
+    )
+    if one(317, 1) == 2:  # horizontal differencing per row, per channel
+        arr = np.cumsum(arr.astype(np.int64), axis=1).astype(np.uint8)
+    elif one(317, 1) not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {one(317)}")
+
+    if photo in (0, 1):
+        g = arr[:, :, 0]
+        if photo == 0:
+            g = 255 - g  # WhiteIsZero
+        rgb = np.stack([g, g, g], axis=-1)
+    elif photo == 2:
+        if spp < 3:
+            raise ValueError("RGB TIFF with <3 samples")
+        rgb = arr[:, :, :3].copy()
+    elif photo == 3:
+        cmap = tags.get(320)
+        if not cmap or len(cmap) < 3 * 256:
+            # palette sized by bit depth; 8-bit ⇒ 3×256 shorts
+            raise ValueError("palette TIFF without a full colormap")
+        pal = (np.asarray(cmap[: 3 * 256], np.uint32).reshape(3, 256).T // 257
+               ).astype(np.uint8)
+        rgb = pal[arr[:, :, 0]]
+    else:
+        raise NotImplementedError(f"TIFF photometric {photo}")
+    return width, height, rgb, n_pages
 
 
 def _image_features(rgb: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
@@ -779,6 +987,10 @@ def decode_one(payload: bytes, dim: int = FEATURE_DIM):
         # animated: first frame featurized, frame count surfaced
         # (per-frame delays stay in the stubbed territory)
         return fmt, w, h, None, None, n_frames, _image_features(rgb, dim)
+    if fmt == "tiff":
+        w, h, rgb, n_pages = decode_tiff(payload)
+        # multi-page: first page featurized, page count in n_frames
+        return fmt, w, h, None, None, n_pages, _image_features(rgb, dim)
     if fmt == "wav":
         rate, dur, samples = decode_wav(payload)
         return fmt, None, None, rate, dur, None, _audio_features(samples, dim)

@@ -2546,3 +2546,209 @@ def test_wav_matches_javax_sound(spark):
     ref = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
     assert len(ref) == len(samples)
     assert np.array_equal(ref, samples.astype(np.float32))
+
+
+def _build_tiff(en, pages):
+    """Minimal classic-TIFF builder for decoder tests: `pages` is a list
+    of dicts {tags: {tag: (type, [values])}, strip: bytes}. Strip data
+    is placed first, IFDs chained after, out-of-line values appended
+    per IFD."""
+    import struct as st
+
+    bo = "<" if en == "II" else ">"
+    head = (b"II*\x00" if en == "II" else b"MM\x00*")
+    blobs, strip_offs = b"", []
+    for p in pages:
+        strip_offs.append(8 + len(blobs))
+        blobs += p["strip"]
+    out = bytearray(head + b"\x00" * 4 + blobs)
+    st.pack_into(bo + "I", out, 4, len(out) if pages else 0)
+    sz = {1: 1, 3: 2, 4: 4}
+    fmt = {1: "B", 3: "H", 4: "I"}
+    for i, p in enumerate(pages):
+        tags = dict(p["tags"])
+        tags[273] = (4, [strip_offs[i]])
+        tags[279] = (4, [len(p["strip"])])
+        items = sorted(tags.items())
+        ifd_off = len(out)
+        out += st.pack(bo + "H", len(items))
+        extra = b""
+        extra_base = ifd_off + 2 + 12 * len(items) + 4
+        for tag, (typ, vals) in items:
+            enc = b"".join(st.pack(bo + fmt[typ], v) for v in vals)
+            out += st.pack(bo + "HHI", tag, typ, len(vals))
+            if len(enc) <= 4:
+                out += enc.ljust(4, b"\x00")
+            else:
+                out += st.pack(bo + "I", extra_base + len(extra))
+                extra += enc
+        out += b"\x00" * 4  # next-IFD pointer, patched below
+        out += extra
+        if i == 0:
+            st.pack_into(bo + "I", out, 4, ifd_off)
+        else:
+            st.pack_into(bo + "I", out, prev_next_at, ifd_off)
+        prev_next_at = ifd_off + 2 + 12 * len(items)
+    return bytes(out)
+
+
+def _imageio_write_tiff(spark, img, ctype):
+    """Encode a BufferedImage as TIFF via the JDK's ImageIO writer with
+    an explicit compression type — an external encoder for our
+    decoder's LZW/Deflate/PackBits strip paths."""
+    import os
+    import tempfile
+
+    jvm = spark._jvm
+    wr = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    tmp = tempfile.mktemp(suffix=".tif")
+    try:
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(
+            jvm.java.io.File(tmp)
+        )
+        wr.setOutput(ios)
+        pr = wr.getDefaultWriteParam()
+        pr.setCompressionMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        pr.setCompressionType(ctype)
+        wr.write(None, jvm.javax.imageio.IIOImage(img, None, None), pr)
+        ios.close()
+        wr.dispose()
+        return open(tmp, "rb").read()
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def test_tiff_decode_matches_imageio(spark):
+    """decode_tiff pinned against javax.imageio in BOTH directions:
+    the external CPython test fixture (RGBA uncompressed LE) must match
+    ImageIO's ARGB read at opaque pixels, and TIFFs ENCODED by the JDK
+    writer with every supported compression (LZW with early change,
+    ZLib/Deflate, PackBits) across RGB / palette / grayscale rasters
+    must decode byte-exact (gray compared against the raw raster —
+    getRGB applies a linear-gray→sRGB transfer that the file's samples
+    never contained)."""
+    import os
+
+    from osm_pbf2json_spark.operators.multimodal import decode_tiff, sniff_format
+
+    here = os.path.join(os.path.dirname(__file__), "data")
+    jvm = spark._jvm
+
+    p = os.path.join(here, "external_rgba.tiff")
+    payload = open(p, "rb").read()
+    assert sniff_format(payload) == "tiff"
+    w, h, ours, n_pages = decode_tiff(payload)
+    rgb, alpha = _imageio_argb(spark, p)
+    assert (w, h) == (16, 16) and n_pages == 1 and rgb.shape == ours.shape
+    m = alpha == 255
+    assert m.any() and (ours[m] == rgb[m]).all()
+
+    def jvm_image(typ):
+        img = jvm.java.awt.image.BufferedImage(40, 25, typ)
+        g = img.createGraphics()
+        g.setColor(jvm.java.awt.Color(200, 30, 90))
+        g.fillRect(0, 0, 40, 25)
+        g.setColor(jvm.java.awt.Color(10, 240, 60))
+        g.fillRect(5, 4, 20, 12)
+        g.setColor(jvm.java.awt.Color(0, 0, 255))
+        g.drawLine(0, 0, 39, 24)
+        g.setColor(jvm.java.awt.Color(255, 255, 0))
+        g.fillOval(20, 10, 15, 10)
+        g.dispose()
+        vals = np.array(
+            list(img.getRGB(0, 0, 40, 25, None, 0, 40)), np.int64
+        ).reshape(25, 40)
+        ref = np.stack(
+            [(vals >> 16) & 255, (vals >> 8) & 255, vals & 255], axis=-1
+        ).astype(np.uint8)
+        return img, ref
+
+    TYPE_INT_RGB, TYPE_BYTE_GRAY, TYPE_BYTE_INDEXED = 1, 10, 13
+    for typ, ctype in [
+        (TYPE_INT_RGB, "LZW"), (TYPE_INT_RGB, "ZLib"),
+        (TYPE_INT_RGB, "Deflate"), (TYPE_INT_RGB, "PackBits"),
+        (TYPE_BYTE_INDEXED, "LZW"),
+    ]:
+        img, ref = jvm_image(typ)
+        w, h, ours, n_pages = decode_tiff(_imageio_write_tiff(spark, img, ctype))
+        assert (w, h, n_pages) == (40, 25, 1), (typ, ctype)
+        assert (ours == ref).all(), (typ, ctype)
+
+    img, _ = jvm_image(TYPE_BYTE_GRAY)
+    arr = spark.sparkContext._gateway.new_array(jvm.int, 40 * 25)
+    img.getRaster().getSamples(0, 0, 40, 25, 0, arr)
+    gray = np.array(list(arr), np.int64).reshape(25, 40).astype(np.uint8)
+    w, h, ours, _ = decode_tiff(_imageio_write_tiff(spark, img, "PackBits"))
+    assert (ours[:, :, 0] == gray).all() and (ours[:, :, 0] == ours[:, :, 2]).all()
+
+
+def test_tiff_predictor_endian_multipage_and_corrupt(spark):
+    """Hand-built streams for what no in-env encoder emits: horizontal-
+    differencing predictor (317=2) under deflate, big-endian (MM) byte
+    order, WhiteIsZero inversion, a 3-page IFD chain (first page
+    decoded, pages counted), and the corrupt/unsupported contract
+    (bad magic, truncated strip, 16-bit, tiled → ValueError/
+    NotImplementedError; decode_media routes all of them to
+    format-NULL)."""
+    import zlib
+
+    from osm_pbf2json_spark.operators.multimodal import decode_media, decode_tiff
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    gray = rng.integers(0, 256, size=(9, 14), dtype=np.uint8)
+    diffed = np.concatenate(
+        [gray[:, :1], (gray[:, 1:].astype(np.int16) - gray[:, :-1]) % 256],
+        axis=1,
+    ).astype(np.uint8)
+    base = {256: (3, [14]), 257: (3, [9]), 258: (3, [8]), 277: (3, [1]),
+            262: (3, [1]), 278: (3, [9])}
+    pred = _build_tiff("II", [{
+        "tags": {**base, 259: (3, [8]), 317: (3, [2])},
+        "strip": zlib.compress(diffed.tobytes()),
+    }])
+    w, h, rgb, n_pages = decode_tiff(pred)
+    assert (w, h, n_pages) == (14, 9, 1)
+    assert (rgb[:, :, 0] == gray).all()
+
+    be = _build_tiff("MM", [{"tags": dict(base), "strip": gray.tobytes()}])
+    w, h, rgb, _ = decode_tiff(be)
+    assert (w, h) == (14, 9) and (rgb[:, :, 0] == gray).all()
+
+    w0 = _build_tiff("II", [{
+        "tags": {**base, 262: (3, [0])}, "strip": gray.tobytes()
+    }])
+    assert (decode_tiff(w0)[2][:, :, 0] == 255 - gray).all()  # WhiteIsZero
+
+    pages = [{"tags": dict(base), "strip": gray.tobytes()},
+             {"tags": dict(base), "strip": (255 - gray).tobytes()},
+             {"tags": dict(base), "strip": gray[::-1].tobytes()}]
+    mp = _build_tiff("II", pages)
+    w, h, rgb, n_pages = decode_tiff(mp)
+    assert n_pages == 3 and (rgb[:, :, 0] == gray).all()  # first page wins
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decode_tiff(b"XX*\x00" + b"\x00" * 16)
+    with _pytest.raises(ValueError):
+        decode_tiff(_build_tiff("II", [{
+            "tags": dict(base), "strip": gray.tobytes()[:-8]}]))
+    with _pytest.raises(NotImplementedError):
+        decode_tiff(_build_tiff("II", [{
+            "tags": {**base, 258: (3, [16])}, "strip": gray.tobytes()}]))
+    with _pytest.raises(NotImplementedError):
+        decode_tiff(_build_tiff("II", [{
+            "tags": {**base, 322: (3, [16]), 323: (3, [16])},
+            "strip": gray.tobytes()}]))
+
+    media = spark.createDataFrame(
+        [(1, mp), (2, pred), (3, _build_tiff("II", [{
+            "tags": {**base, 259: (3, [6])}, "strip": gray.tobytes()}]))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert rows[1]["format"] == "tiff" and rows[1]["n_frames"] == 3
+    assert (rows[1]["width"], rows[1]["height"]) == (14, 9)
+    assert len(rows[1]["features"]) == 16
+    assert rows[2]["format"] == "tiff"
+    assert rows[3]["format"] is None  # old-style JPEG-in-TIFF: unsupported
