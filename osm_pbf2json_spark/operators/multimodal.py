@@ -8,18 +8,20 @@ Decode support is format-tiered:
   zlib inflate IS stdlib), GIF (87a/89a palette + LZW + interlace;
   animated = first frame + frame count), TIFF (classic, both endians,
   8-bit gray/RGB/palette strips; none/LZW/deflate/PackBits compression
-  + horizontal predictor; multi-page = first page + page count), and
-  JPEG — baseline AND
+  + horizontal predictor; multi-page = first page + page count),
+  lossless WebP (full VP8L bitstream — prefix codes, color cache,
+  LZ77 backrefs, meta-prefix entropy images, all four transforms; see
+  operators/vp8l.py), and JPEG — baseline AND
   progressive DCT, Huffman, grayscale/YCbCr up to 2×2 subsampling (see
   operators/jpeg.py). These produce real dimensions/sample-rates and
   content features (mean RGB, luma stats, RMS, zero-crossing rate),
   detected by payload magic bytes.
 - REAL container/bitstream-header metadata with STUBBED sample decode:
-  MP4 (ISO-BMFF box walk), MP3 (frame-header walk), WebP (VP8/VP8L/
-  VP8X dims + animation flag) — true dims/durations/sample-rates,
-  empty feature vectors.
+  MP4 (ISO-BMFF box walk), MP3 (frame-header walk), lossy/extended
+  WebP (VP8/VP8X dims + ANMF animation walk) — true dims/durations/
+  sample-rates, empty feature vectors.
 - STUBBED decode for formats whose codecs aren't in this container
-  (arithmetic/hierarchical JPEG, VP8/VP8L, H.264/AAC/LayerIII
+  (arithmetic/hierarchical JPEG, lossy VP8, H.264/AAC/LayerIII
   samples): `decode_features` raises
   NotImplementedError unless `fake=True`, in which case a deterministic
   featurizer (seeded from the payload hash) produces stable output so
@@ -797,6 +799,17 @@ def parse_avif(payload: bytes) -> dict:
     raise ValueError("AVIF without ispe property")
 
 
+def _webp_chunk(payload: bytes, fourcc: bytes) -> bytes | None:
+    """Body of the first top-level RIFF chunk with the given fourcc."""
+    pos = 12
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if payload[pos : pos + 4] == fourcc:
+            return payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    return None
+
+
 def parse_webp(payload: bytes) -> dict:
     """WebP RIFF container → {width, height, variant, animated,
     n_frames, duration_ms}. Real parse of the public container/
@@ -996,8 +1009,17 @@ def decode_one(payload: bytes, dim: int = FEATURE_DIM):
         return fmt, None, None, rate, dur, None, _audio_features(samples, dim)
     if fmt == "webp":
         m = parse_webp(payload)
-        # real container dims + ANMF animation walk; VP8/VP8L sample
-        # decode is the stubbed part
+        if m["variant"] == "lossless":
+            # VP8L sample decode is REAL (operators/vp8l.py, written
+            # from the public lossless bitstream spec / RFC 9649)
+            from .vp8l import decode_vp8l
+
+            body = _webp_chunk(payload, b"VP8L")
+            if body is not None:
+                w, h, rgb, _ = decode_vp8l(body)
+                return fmt, w, h, None, None, None, _image_features(rgb, dim)
+        # lossy VP8 / extended: real container dims + ANMF animation
+        # walk; the VP8/AV1 sample decode is the stubbed part
         return (fmt, m["width"], m["height"], None, m["duration_ms"],
                 m["n_frames"], np.zeros(0, np.float32))
     if fmt == "avif":
