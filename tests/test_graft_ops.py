@@ -3043,10 +3043,21 @@ def test_vp8l_decode_media_and_corrupt(spark):
     d = decode_one(good)
     assert d[0] == "webp" and (d[1], d[2]) == (9, 7) and len(d[6]) == 16
 
+    # VP8X-wrapped still: the container walk reaches the top-level VP8L
+    # chunk and the real decode fires for extended-format files too
+    chunk = encode_vp8l(img)
+    vp8x = (b"VP8X" + struct.pack("<I", 10) + b"\x00\x00\x00\x00"
+            + (9 - 1).to_bytes(3, "little") + (7 - 1).to_bytes(3, "little"))
+    vp8l_ck = b"VP8L" + struct.pack("<I", len(chunk)) + chunk
+    if len(chunk) & 1:
+        vp8l_ck += b"\x00"
+    body = b"WEBP" + vp8x + vp8l_ck
+    extended = b"RIFF" + struct.pack("<I", len(body)) + body
+
     bad_version = _vp8l_riff(b"\x2f" + b"\xff" * 8)
     truncated = _vp8l_riff(encode_vp8l(img)[:10])
     media = spark.createDataFrame(
-        [(1, good), (2, bad_version), (3, truncated)],
+        [(1, good), (2, bad_version), (3, truncated), (4, extended)],
         "media_id long, payload binary",
     )
     rows = {r["media_id"]: r for r in decode_media(media).collect()}
@@ -3054,3 +3065,5 @@ def test_vp8l_decode_media_and_corrupt(spark):
     assert (rows[1]["width"], rows[1]["height"]) == (9, 7)
     assert len(rows[1]["features"]) == 16 and any(rows[1]["features"])
     assert rows[2]["format"] is None and rows[3]["format"] is None
+    assert (rows[4]["width"], rows[4]["height"]) == (9, 7)
+    assert list(rows[4]["features"]) == list(rows[1]["features"])
