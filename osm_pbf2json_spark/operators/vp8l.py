@@ -128,10 +128,14 @@ def _read_prefix_code(br: _BitReader, alphabet: int) -> _Prefix:
         else:
             sym0 = br.read(1)
         lengths = [0] * alphabet
+        if sym0 >= alphabet:
+            raise ValueError("VP8L simple-code symbol exceeds alphabet")
         if num == 1:
             lengths[sym0] = 1  # degenerate → 0-bit decode
         else:
             sym1 = br.read(8)
+            if sym1 >= alphabet:
+                raise ValueError("VP8L simple-code symbol exceeds alphabet")
             if sym0 == sym1:
                 raise ValueError("VP8L simple code with duplicate symbols")
             lengths[sym0] = 1

@@ -3030,6 +3030,45 @@ def test_vp8l_transforms():
     assert (rgb == target).all()
 
 
+def test_vp8l_fuzz_valueerror_contract():
+    """decode_vp8l on arbitrary/corrupted bytes must either decode or
+    raise ValueError (never IndexError/struct.error/hang) — that is
+    the contract decode_media's corrupt-payload routing relies on.
+    Covers random blobs and single-byte mutations of a valid stream
+    (the latter keep the header plausible, reaching deep decode
+    paths: simple-code symbols past the alphabet, incomplete trees,
+    backrefs out of range, truncation)."""
+    from osm_pbf2json_spark.operators.vp8l import decode_vp8l, encode_vp8l
+
+    rng = np.random.Generator(np.random.PCG64(21))
+    img = rng.integers(0, 256, size=(9, 11, 3), dtype=np.uint8)
+    valid = bytearray(encode_vp8l(img))
+
+    n_ok = n_err = 0
+    for _ in range(150):
+        blob = b"\x2f" + rng.integers(0, 256, size=40, dtype=np.uint8).tobytes()
+        try:
+            decode_vp8l(blob, max_pixels=1 << 16)
+            n_ok += 1
+        except ValueError:
+            n_err += 1
+    assert n_err > 0  # random blobs overwhelmingly malformed
+
+    for _ in range(200):
+        mut = bytearray(valid)
+        i = int(rng.integers(1, len(mut)))
+        mut[i] ^= 1 << int(rng.integers(0, 8))
+        try:
+            decode_vp8l(bytes(mut), max_pixels=1 << 16)
+        except ValueError:
+            pass
+    for cut in (2, 5, 9, len(valid) // 2, len(valid) - 1):
+        try:
+            decode_vp8l(bytes(valid[:cut]), max_pixels=1 << 16)
+        except ValueError:
+            pass
+
+
 def test_vp8l_decode_media_and_corrupt(spark):
     """RIFF-wrapped VP8L payloads decode for REAL through decode_media
     (dims + content features, no longer the empty-feature metadata
