@@ -53,6 +53,10 @@ MEDIA_SCHEMA = (
 )
 
 FEATURE_DIM = 16
+# Largest lossless-WebP still that gets the full Python-side VP8L
+# sample decode (≈4.2M px; bigger stills fall back to metadata-only so
+# one image can't stall an executor task for minutes)
+VP8L_FEATURE_MAX_PIXELS = 1 << 22
 
 
 def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
@@ -847,6 +851,8 @@ def parse_webp(payload: bytes) -> dict:
             if body[0] != 0x2F:
                 raise ValueError("bad VP8L signature")
             (bits,) = struct.unpack_from("<I", body, 1)
+            if (bits >> 29) & 0x7:  # 14w+14h+alpha, then 3 version bits
+                raise ValueError("unknown VP8L version")
             out.update(
                 width=(bits & 0x3FFF) + 1,
                 height=((bits >> 14) & 0x3FFF) + 1,
@@ -1011,11 +1017,16 @@ def decode_one(payload: bytes, dim: int = FEATURE_DIM):
         m = parse_webp(payload)
         if m["variant"] == "lossless":
             # VP8L sample decode is REAL (operators/vp8l.py, written
-            # from the public lossless bitstream spec / RFC 9649)
+            # from the public lossless bitstream spec / RFC 9649).
+            # Scale valve: the bit-serial entropy decode is Python-side
+            # and O(pixels); past the cap an executor shouldn't stall
+            # minutes on one crawl image, so oversized stills keep the
+            # metadata tier (true dims, empty features) instead.
             from .vp8l import decode_vp8l
 
             body = _webp_chunk(payload, b"VP8L")
-            if body is not None:
+            if (body is not None
+                    and m["width"] * m["height"] <= VP8L_FEATURE_MAX_PIXELS):
                 w, h, rgb, _ = decode_vp8l(body)
                 return fmt, w, h, None, None, None, _image_features(rgb, dim)
         # lossy VP8 / extended: real container dims + ANMF animation

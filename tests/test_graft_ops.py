@@ -3106,3 +3106,18 @@ def test_vp8l_decode_media_and_corrupt(spark):
     assert rows[2]["format"] is None and rows[3]["format"] is None
     assert (rows[4]["width"], rows[4]["height"]) == (9, 7)
     assert list(rows[4]["features"]) == list(rows[1]["features"])
+
+    # scale valve: a still whose header claims dims past the featurize
+    # cap keeps the metadata tier (true dims, empty features) without
+    # entering the O(pixels) Python sample decode — the stream body
+    # here is garbage, so reaching the decoder would raise, not route
+    from osm_pbf2json_spark.operators.vp8l import _BitWriter
+    bw = _BitWriter()
+    bw.write(3000 - 1, 14)
+    bw.write(2000 - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    huge = _vp8l_riff(b"\x2f" + bw.done() + b"\x00" * 8)
+    d = decode_one(huge)
+    assert d[0] == "webp" and (d[1], d[2]) == (3000, 2000)
+    assert len(d[6]) == 0
