@@ -407,19 +407,33 @@ def _parse_boundaries(boundary_rows: list[dict]):
     return bnds, polys, bb
 
 
-def _polys_to_raw(col: str = "polygons"):
-    """JVM-side: multipolygon coords structs → per-ring parallel
-    lons/lats arrays (the layout _ring_xy consumes zero-copy)."""
-    return F.transform(
-        col,
-        lambda poly: F.transform(
-            poly,
-            lambda ring: F.struct(
-                F.transform(ring, lambda c: c["lon"]).alias("lons"),
-                F.transform(ring, lambda c: c["lat"]).alias("lats"),
-            ),
-        ),
+def _parse_boundaries_flat(right: pd.DataFrame):
+    """Deterministic (admin_level, name, relation_id) order + parsed ring
+    arrays + bbox matrix from the FLAT bundle layout (`_plens`
+    rings-per-polygon, `_rlens` points-per-ring, `_bfx`/`_bfy` flattened
+    vertices — single-level primitive arrays, reconstructed with
+    np.split over the Arrow buffers; no per-vertex dicts)."""
+    recs = right.to_dict("records")
+    bnds = sorted(
+        recs, key=lambda b: (b["admin_level"], b["name"], b["relation_id"])
     )
+    polys = []
+    for b in bnds:
+        fx = np.asarray(b["_bfx"], np.float64)
+        fy = np.asarray(b["_bfy"], np.float64)
+        rl = np.asarray(b["_rlens"], np.int64)
+        pl = np.asarray(b["_plens"], np.int64)
+        xs = np.split(fx, np.cumsum(rl)[:-1]) if len(rl) else []
+        ys = np.split(fy, np.cumsum(rl)[:-1]) if len(rl) else []
+        rings = [np.column_stack([x, y]) for x, y in zip(xs, ys)]
+        po = np.concatenate([[0], np.cumsum(pl)]).astype(np.int64)
+        polys.append(
+            [rings[po[i]:po[i + 1]] for i in range(len(pl))]
+        )
+    bb = np.array(
+        [[b["sw_lon"], b["sw_lat"], b["ne_lon"], b["ne_lat"]] for b in bnds]
+    ).reshape(-1, 4)
+    return bnds, polys, bb
 
 
 def _split_batch(pdf: pd.DataFrame, bnds, polys, bb, cand_lists=None) -> list[dict]:
@@ -799,25 +813,30 @@ def split_streets_by_cells(
     collect, no broadcast of the polygon side).
 
     Shuffle-volume shape (the 100-TB concern): polygon geometry never
-    rides the candidate join. Three phases:
+    rides the candidate join, and street segments shuffle exactly ONCE
+    (the cogroup exchange). Two phases:
 
-    1. LIGHT pair generation: both sides explode to covering cells of
-       their bboxes (pure Catalyst, ids + bboxes only); the cell
-       equi-join + bbox-overlap filter yields (street, relation_id)
-       candidate pairs, aggregated to one id-set per street.
-    2. GEOMETRY delivery, once per consumer group: each candidate
-       street belongs to ONE owner cell (the cell of its bbox SW
-       corner); the distinct (owner cell, relation_id) set joins the
-       polygon table, so a boundary's multipolygon ships once per owner
-       cell that needs it — not once per candidate street, and not once
-       per covering cell of its own bbox.
-    3. COGROUP on owner cell: streets and their cell's boundary bundle
-       meet in one applyInPandas group; each boundary is parsed once per
-       group and the same vectorized J3→J7 kernel runs with per-street
-       candidate id lists.
-
-    Streets with no candidates never shuffle their segments at all —
-    they pass through (boundary NULL) via a plain union.
+    1. LIGHT need-set: both sides explode to covering cells of their
+       bboxes (pure Catalyst, bboxes only — street ids never enter this
+       pass); the cell equi-join + bbox-overlap filter yields the
+       distinct (owner cell, relation_id) set, where a street's owner
+       cell is the `group_cell` cell of its bbox SW corner. A boundary
+       whose bbox overlaps a street's bbox always shares a covering
+       cell with it, so the street's owner-cell bundle provably holds
+       every boundary its own J3 bbox probe can accept — which is why
+       no per-street candidate-id attach join is needed at all (the r5
+       formulation aggregated per-street id-sets and sort-merge-joined
+       them back onto the payload: one extra shuffle of every street's
+       segments plus a per-street Python candidate-list rebuild in the
+       kernel, all deleted here).
+    2. COGROUP on owner cell: each boundary's multipolygon ships once
+       per owner cell that needs it (not once per candidate street, not
+       once per covering cell of its own bbox); streets and their
+       cell's boundary bundle meet in one applyInPandas group, each
+       boundary is parsed once per group, and the vectorized J3→J7
+       kernel runs with its own chunked bbox probe. Streets with no
+       overlapping boundary take the kernel's passthrough branch
+       (boundary NULL) — identical rows to the r5 union path.
 
     `cell` controls pair-join selectivity (smaller → fewer candidate
     rows through the equi-join); `group_cell` (default 4×cell) controls
@@ -830,31 +849,29 @@ def split_streets_by_cells(
 
     gcell = group_cell if group_cell is not None else 4.0 * cell
 
-    # candidate-bearing segments ride the cogroup shuffle as four flat
-    # parallel-array columns (built JVM-side AFTER the candidate join so
-    # the join itself never carries a doubled representation); the
-    # kernel reads Arrow primitive buffers, not per-point structs
+    # the two passes below (light need-set, payload) share one
+    # materialization of the street table — without this the upstream
+    # pipeline (extract_streets' grouped clustering in the e2e path)
+    # would execute twice
+    streets_df = streets_df.localCheckpoint(eager=False)
+
     lons = F.flatten(
         F.transform("segments", lambda s: F.transform(s["coords"], lambda c: c["lon"]))
     )
     lats = F.flatten(
         F.transform("segments", lambda s: F.transform(s["coords"], lambda c: c["lat"]))
     )
-    st = (
-        streets_df.withColumn("_sx0", F.array_min(lons))
-        .withColumn("_sx1", F.array_max(lons))
-        .withColumn("_sy0", F.array_min(lats))
-        .withColumn("_sy1", F.array_max(lats))
-    )
 
-    # phase 1: light cell join — NO polygons on either side
-    st_cells = st.select(
-        "name",
-        "id",
-        "_sx0", "_sy0", "_sx1", "_sy1",
-        F.explode(
-            _bbox_cells(F.col("_sx0"), F.col("_sy0"), F.col("_sx1"), F.col("_sy1"), 0.0, cell)
-        ).alias("_cell"),
+    # phase 1: light need-set — NO polygons, NO street ids/payload.
+    # Each flatten is evaluated once: the second select references the
+    # materialized arrays (CollapseProject keeps non-cheap aliases
+    # un-inlined; the r5 chain evaluated the lon flatten twice and the
+    # lat flatten twice for the four bbox columns)
+    st_bb = streets_df.select(lons.alias("_fl"), lats.alias("_fa")).select(
+        F.array_min("_fl").alias("_sx0"),
+        F.array_max("_fl").alias("_sx1"),
+        F.array_min("_fa").alias("_sy0"),
+        F.array_max("_fa").alias("_sy1"),
     )
     bd_light = boundaries_df.select(
         "relation_id",
@@ -863,81 +880,92 @@ def split_streets_by_cells(
             _bbox_cells(F.col("sw_lon"), F.col("sw_lat"), F.col("ne_lon"), F.col("ne_lat"), 0.0, cell)
         ).alias("_cell"),
     )
-    cand_ids = (
-        st_cells.join(bd_light, "_cell")
+    # (keys named _bcx/_bcy on the bundle side: cogroup matches grouping
+    # keys positionally, not by name, and distinct column names keep the
+    # two sides' lineages unambiguous)
+    need = (
+        st_bb.select(
+            "_sx0", "_sy0", "_sx1", "_sy1",
+            F.floor(F.col("_sx0") / gcell).cast("long").alias("_bcx"),
+            F.floor(F.col("_sy0") / gcell).cast("long").alias("_bcy"),
+            F.explode(
+                _bbox_cells(F.col("_sx0"), F.col("_sy0"), F.col("_sx1"), F.col("_sy1"), 0.0, cell)
+            ).alias("_cell"),
+        )
+        .join(bd_light, "_cell")
         .filter(
             (F.col("sw_lon") <= F.col("_sx1"))
             & (F.col("ne_lon") >= F.col("_sx0"))
             & (F.col("sw_lat") <= F.col("_sy1"))
             & (F.col("ne_lat") >= F.col("_sy0"))
         )
-        .groupBy("name", "id")
-        .agg(F.collect_set("relation_id").alias("_cand_ids"))
-    )
-
-    joined = st.join(cand_ids, ["name", "id"], "left")
-    no_cand = joined.filter(F.col("_cand_ids").isNull()).select(*_STREET_COLS)
-    with_cand = (
-        joined.filter(F.col("_cand_ids").isNotNull())
-        .select(
-            "id", "name", "boundary", "length", "loc_lon", "loc_lat",
-            *_segments_flat_cols(),
-            "_sx0", "_sy0", "_cand_ids",
-        )
-        .withColumn("_ocx", F.floor(F.col("_sx0") / gcell).cast("long"))
-        .withColumn("_ocy", F.floor(F.col("_sy0") / gcell).cast("long"))
-    )
-
-    # phase 2: each boundary's geometry ships once per owner cell
-    # (keys renamed _bcx/_bcy: bundles derive from with_cand, and reusing
-    # the column names would make the cogroup an ambiguous self-join;
-    # cogroup matches grouping keys positionally, not by name)
-    need = (
-        with_cand.select(
-            F.col("_ocx").alias("_bcx"),
-            F.col("_ocy").alias("_bcy"),
-            F.explode("_cand_ids").alias("relation_id"),
-        )
+        .select("_bcx", "_bcy", "relation_id")
         .distinct()
     )
-    bundles = need.join(
-        boundaries_df.select(
-            "relation_id", "name", "admin_level",
-            "sw_lon", "sw_lat", "ne_lon", "ne_lat",
-            # rings ship as parallel primitive arrays: the cogroup kernel
-            # parses each boundary once per group, and a planet-scale
-            # admin ring must not marshal per-vertex dicts there
-            _polys_to_raw("polygons").alias("polygons"),
-        ),
-        "relation_id",
+
+    # phase 2a: each boundary's geometry ships once per owner cell, as
+    # FLAT parallel primitive arrays (`_plens` rings-per-polygon,
+    # `_rlens` points-per-ring, `_bfx`/`_bfy` flattened vertices): the
+    # cogroup kernel reconstructs rings with np.split over zero-copy
+    # Arrow buffers, a planet-scale admin ring never marshals
+    # per-vertex dicts, AND — load-bearing — the cogroup serializer in
+    # Spark 4.1 segfaults the Python worker (pyarrow arrow_to_pandas on
+    # the empty substitute batch) whenever a left group has no right
+    # group and the right schema carries nested array-of-struct
+    # columns; single-level primitive arrays deserialize fine in every
+    # missing-group/empty combination (verified by
+    # test_split_cells_passthrough_only_cells_survive_cogroup)
+    rings_col = F.flatten("polygons")
+    bd_payload = boundaries_df.select(
+        "relation_id", "name", "admin_level",
+        "sw_lon", "sw_lat", "ne_lon", "ne_lat",
+        F.transform("polygons", lambda p: F.size(p)).alias("_plens"),
+        rings_col.alias("_rings"),
+    ).select(
+        "relation_id", "name", "admin_level",
+        "sw_lon", "sw_lat", "ne_lon", "ne_lat", "_plens",
+        F.transform("_rings", lambda r: F.size(r)).alias("_rlens"),
+        F.flatten(
+            F.transform("_rings", lambda r: F.transform(r, lambda c: c["lon"]))
+        ).alias("_bfx"),
+        F.flatten(
+            F.transform("_rings", lambda r: F.transform(r, lambda c: c["lat"]))
+        ).alias("_bfy"),
+    )
+    bundles = need.join(bd_payload, "relation_id")
+
+    # phase 2b: payload pass — segments flatten ONCE into the four
+    # parallel primitive-buffer columns the kernel reads, and the owner
+    # cell derives from the already-materialized buffers
+    left_df = streets_df.select(
+        "id", "name", "boundary", "length", "loc_lon", "loc_lat",
+        *_segments_flat_cols(),
+    ).select(
+        *_FLAT_COLS,
+        F.floor(F.array_min("_flons") / gcell).cast("long").alias("_ocx"),
+        F.floor(F.array_min("_flats") / gcell).cast("long").alias("_ocy"),
     )
 
-    # phase 3: cogroup — boundaries parsed once per owner-cell group
+    # phase 2c: cogroup — boundaries parsed once per owner-cell group;
+    # the kernel's own chunked J3 bbox probe computes the exact same
+    # candidate sets the r5 attach join delivered (see docstring)
     def split(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if not len(left):
             return pd.DataFrame(columns=_STREET_COLS)
-        bnds, polys, bb = _parse_boundaries(right.to_dict("records"))
-        local_idx = {b["relation_id"]: i for i, b in enumerate(bnds)}
-        cand_lists = [
-            sorted(local_idx[rid] for rid in cl if rid in local_idx)
-            for cl in left["_cand_ids"]
-        ]
-        out_rows = _split_batch(
-            left[_FLAT_COLS], bnds, polys, bb, cand_lists=cand_lists
-        )
+        bnds, polys, bb = _parse_boundaries_flat(right)
+        out_rows = _split_batch(left[_FLAT_COLS], bnds, polys, bb)
         return (
             pd.DataFrame(out_rows)[_STREET_COLS]
             if out_rows
             else pd.DataFrame(columns=_STREET_COLS)
         )
 
-    split_out = (
-        with_cand.groupBy("_ocx", "_ocy")
+    return (
+        left_df.groupBy("_ocx", "_ocy")
         .cogroup(bundles.groupBy("_bcx", "_bcy"))
         .applyInPandas(split, _STREET_RAW_SCHEMA)
         .withColumn("segments", _segments_to_coords())
     )
-    return split_out.unionByName(no_cand)
 
 
 def streets(

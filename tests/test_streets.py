@@ -467,3 +467,47 @@ def test_group_midpoints_adversarial_ulp_flip():
     for i, g in enumerate(flips):
         ex, ey = midpoint(g)
         assert lx[i] == ex and ly[i] == ey, f"flip group {i}"
+
+
+def test_split_cells_passthrough_only_cells_survive_cogroup(spark):
+    """Streets whose owner cell has NO bundle (no boundary anywhere near)
+    make the cogroup deliver left groups with no matching right group —
+    the Spark 4.1 empty-substitute-batch path that segfaults the Python
+    worker when the right schema carries nested array-of-struct columns.
+    The flat bundle layout (_plens/_rlens/_bfx/_bfy) must survive it and
+    pass such streets through with NULL boundary."""
+    from osm_pbf2json_spark.operators.streets import (
+        STREET_SCHEMA,
+        split_streets_by_cells,
+    )
+
+    ring = [
+        {"lon": 0.0, "lat": 0.0},
+        {"lon": 1.0, "lat": 0.0},
+        {"lon": 1.0, "lat": 1.0},
+        {"lon": 0.0, "lat": 1.0},
+        {"lon": 0.0, "lat": 0.0},
+    ]
+    bdf = spark.createDataFrame(
+        [(1, "b", 8, 0.0, 0.0, 1.0, 1.0, [[ring]])],
+        "relation_id long, name string, admin_level int, sw_lon double, "
+        "sw_lat double, ne_lon double, ne_lat double, "
+        "polygons array<array<array<struct<lon:double,lat:double>>>>",
+    )
+    srows = [
+        # inside the boundary → owned
+        (1, "in", None, 0.1, 0.2, 0.2,
+         [{"way_id": 1, "coords": [{"lon": 0.2, "lat": 0.2},
+                                   {"lon": 0.3, "lat": 0.25}]}]),
+    ] + [
+        # far away, several distinct owner cells → left-only cogroup
+        # groups (empty right batches)
+        (10 + i, f"far{i}", None, 0.1, 30.0 + 3.0 * i, 40.0,
+         [{"way_id": 10 + i, "coords": [{"lon": 30.0 + 3.0 * i, "lat": 40.0},
+                                        {"lon": 30.1 + 3.0 * i, "lat": 40.05}]}])
+        for i in range(4)
+    ]
+    sdf = spark.createDataFrame(srows, STREET_SCHEMA)
+    rows = {r["name"]: r["boundary"] for r in split_streets_by_cells(sdf, bdf).collect()}
+    assert rows == {"in": "b", "far0": None, "far1": None,
+                    "far2": None, "far3": None}
