@@ -192,19 +192,23 @@ def _lz77_value(code: int, br: _BitReader) -> int:
 
 
 # 120-entry near-distance map (VP8L §4.2.2): offsets (dx, dy) with
-# dy ∈ [0,7], dx ∈ [-8,7], excluding the non-causal dy==0 ∧ dx>=0 —
+# dy ∈ [0,7], dx ∈ [-7,8], excluding the non-causal dy==0 ∧ dx<=0 —
 # exactly 120 pairs — ordered by squared Euclidean distance, ties by
-# larger dy first, then dx ascending. This generating rule reproduces
-# the spec's published table (its head is pinned in
-# test_vp8l_distance_map); scan distance = max(1, dy*xsize + dx).
+# larger dy first, then dx DESCENDING. This generating rule reproduces
+# the spec's published table, whose entries decode as
+# yoffset = code >> 4, xoffset = 8 - (code & 0xf) — i.e. code 2 is
+# dx +1 (distance 1) and code 3 is dx +1 dy 1 (distance xsize+1); the
+# head is pinned in test_vp8l_roundtrip_and_distance_map and a mapped
+# backref stream exercises it end-to-end. Scan distance =
+# max(1, dy*xsize + dx).
 _DIST_MAP = sorted(
     (
         (dx, dy)
         for dy in range(8)
-        for dx in range(-8, 8)
-        if not (dy == 0 and dx >= 0)
+        for dx in range(-7, 9)
+        if not (dy == 0 and dx <= 0)
     ),
-    key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], p[0]),
+    key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], -p[0]),
 )
 
 
@@ -363,8 +367,12 @@ def _inv_predictor(argb: np.ndarray, modes: np.ndarray, bits: int) -> np.ndarray
                 elif mode == 12:
                     pred = np.clip(L + T - TL, 0, 255)
                 elif mode == 13:
+                    # ClampAddSubtractHalf: the delta is divided with C
+                    # semantics (truncation toward zero), not floor —
+                    # off by one for negative odd deltas otherwise
                     avg = _avg2(L, T)
-                    pred = np.clip(avg + (avg - TL) // 2, 0, 255)
+                    d = avg - TL
+                    pred = np.clip(avg + np.sign(d) * (np.abs(d) // 2), 0, 255)
                 else:
                     raise ValueError(f"VP8L predictor mode {mode}")
             ch[y, x] = (ch[y, x] + pred) & 0xFF
@@ -422,8 +430,13 @@ def _inv_color_index(
         for k in range(per):
             cols.append((idx >> (k * bitw)) & ((1 << bitw) - 1))
         idx = np.stack(cols, axis=-1).reshape(h, w * per)[:, :full_w]
-    idx = np.minimum(idx, len(palette) - 1)
-    return palette[idx]
+    # RFC 9649: an index >= color_table_size yields 0x00000000
+    # (transparent black), not a clamp to the last palette entry
+    oob = idx >= len(palette)
+    out = palette[np.where(oob, 0, idx)]
+    if oob.any():
+        out = np.where(oob, np.uint32(0), out)
+    return out
 
 
 def decode_vp8l(chunk: bytes, max_pixels: int = 64_000_000):

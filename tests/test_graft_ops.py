@@ -2780,16 +2780,16 @@ def test_vp8l_roundtrip_and_distance_map():
         assert (ww, hh) == (w, h) and not alpha
         assert (back == img).all(), (w, h)
 
-    # spec table head (kDistanceMapTable 0x18,0x07,0x17,0x19,0x28,0x06,
-    # 0x27,0x29,0x16,0x1a,...: value = (dy<<4)|(dx+8))
-    expect_head = [(0, 1), (-1, 0), (-1, 1), (1, 1), (0, 2), (-2, 0),
-                   (-1, 2), (1, 2), (-2, 1), (2, 1), (-2, 2), (2, 2),
-                   (0, 3), (-3, 0), (-1, 3), (1, 3), (-3, 1), (3, 1),
-                   (-2, 3), (2, 3), (-3, 2), (3, 2)]
+    # spec table head (kCodeToPlaneCodes 0x18,0x07,0x17,0x19,0x28,0x06,
+    # 0x27,0x29,0x16,0x1a,...: yoffset = code>>4, xoffset = 8-(code&0xf))
+    expect_head = [(0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0),
+                   (1, 2), (-1, 2), (2, 1), (-2, 1), (2, 2), (-2, 2),
+                   (0, 3), (3, 0), (1, 3), (-1, 3), (3, 1), (-3, 1),
+                   (2, 3), (-2, 3), (3, 2), (-3, 2)]
     assert _DIST_MAP[:22] == expect_head
     assert len(_DIST_MAP) == len(set(_DIST_MAP)) == 120
-    assert all(-8 <= dx <= 7 and 0 <= dy <= 7 for dx, dy in _DIST_MAP)
-    assert not any(dy == 0 and dx >= 0 for dx, dy in _DIST_MAP)
+    assert all(-7 <= dx <= 8 and 0 <= dy <= 7 for dx, dy in _DIST_MAP)
+    assert not any(dy == 0 and dx <= 0 for dx, dy in _DIST_MAP)
 
 
 def test_vp8l_backref_and_color_cache():
@@ -2895,6 +2895,67 @@ def test_vp8l_backref_and_color_cache():
     _emit_msb(bw, 0b11, 2)   # cache hit → first pixel again
     w, h, rgb, _ = decode_vp8l(b"\x2f" + bw.done())
     assert (rgb[0, :, 1] == [10, 20, 10]).all()
+
+
+def test_vp8l_mapped_distance_backref():
+    """A backref through the NEAR-DISTANCE map (code ≤ 120): distance
+    code 3 decodes as (dx +1, dy 1) → scan distance xsize+1 per the
+    spec's kCodeToPlaneCodes convention (yoffset = code>>4,
+    xoffset = 8-(code&0xf)). The mirrored table (dx −1 → xsize−1)
+    copies different source pixels on this asymmetric row, so the
+    assertion pins the orientation end-to-end, not just the table
+    head."""
+    from osm_pbf2json_spark.operators.vp8l import (
+        _BitWriter,
+        _emit_msb,
+        _write_single_symbol_code,
+        decode_vp8l,
+    )
+
+    bw = _BitWriter()
+    bw.write(5 - 1, 14)   # width 5
+    bw.write(2 - 1, 14)   # height 2
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(0, 1)        # no transforms
+    bw.write(0, 1)        # no cache
+    bw.write(0, 1)        # no meta
+    # green code: lengths {10:1, 20:2, 259:2} (same CLC machinery as
+    # test_vp8l_backref_and_color_cache)
+    bw.write(0, 1)
+    bw.write(5 - 4, 4)
+    for v in (2, 2, 0, 2, 2):
+        bw.write(v, 3)
+    bw.write(0, 1)
+
+    def clc(sym):
+        _emit_msb(bw, {1: 0b00, 2: 0b01, 17: 0b10, 18: 0b11}[sym], 2)
+
+    clc(17); bw.write(10 - 3, 3)      # 10 zeros (sym 0..9)
+    clc(1)                            # sym 10 → len 1
+    clc(17); bw.write(9 - 3, 3)       # 9 zeros (11..19)
+    clc(2)                            # sym 20 → len 2
+    clc(18); bw.write(138 - 11, 7)    # 138 zeros (21..158)
+    clc(18); bw.write(100 - 11, 7)    # 100 zeros (159..258)
+    clc(2)                            # sym 259 → len 2
+    clc(18); bw.write(20 - 11, 7)     # 20 zeros (260..279)
+    for sym in (60, 70, 255):
+        _write_single_symbol_code(bw, sym)
+    # distance prefix SYMBOL 2 → lz77 value 3 → map code 3 → dist xsize+1
+    _write_single_symbol_code(bw, 2)
+    # greens: row0 = 10,20,20,20,10; row1 = 10, then backref len 4
+    _emit_msb(bw, 0b0, 1)    # 10
+    _emit_msb(bw, 0b10, 2)   # 20
+    _emit_msb(bw, 0b10, 2)   # 20
+    _emit_msb(bw, 0b10, 2)   # 20
+    _emit_msb(bw, 0b0, 1)    # 10
+    _emit_msb(bw, 0b0, 1)    # 10
+    _emit_msb(bw, 0b11, 2)   # length code 259 → length 4, dist code 3
+    w, h, rgb, _ = decode_vp8l(b"\x2f" + bw.done())
+    assert (w, h) == (5, 2)
+    # dist = 5+1 = 6: positions 6..9 copy positions 0..3
+    assert (rgb[0, :, 1] == [10, 20, 20, 20, 10]).all()
+    assert (rgb[1, :, 1] == [10, 10, 20, 20, 20]).all()
 
 
 def test_vp8l_transforms():
