@@ -45,12 +45,13 @@ def closure(tables: EntityTables, pred: Column, max_rounds: int = 16) -> EntityT
     nodes, ways, relations = tables.nodes, tables.ways, tables.relations
 
     matched_rel_ids = relations.filter(pred).select("id")
-    if matched_rel_ids.isEmpty():
+    no_rels = matched_rel_ids.isEmpty()
+    if no_rels:
         # fast path: no relation matches the predicate (e.g. streets /
         # objects over way-only data) — the relation closure is empty, so
         # skip the fixpoint's checkpoint jobs entirely. isEmpty() is a
         # first-row probe, cheap at any scale.
-        closure_rels = relations.join(matched_rel_ids, "id", "left_semi")
+        closure_rels = relations.filter(F.lit(False))
     else:
         # --- relation fixpoint: pull in member relations until stable ----
         rel_ids = _pin(matched_rel_ids.distinct())
@@ -69,33 +70,43 @@ def closure(tables: EntityTables, pred: Column, max_rounds: int = 16) -> EntityT
             rel_ids = _pin(rel_ids.unionByName(new_ids).distinct())
             frontier = new_ids
 
-        closure_rels = _pin(relations.join(rel_ids, "id", "left_semi"))
+        closure_rels = relations.join(rel_ids, "id", "left_semi").localCheckpoint(
+            eager=False
+        )
 
     # --- ways: matched directly or members of closure relations ----------
-    rel_way_ids = (
-        closure_rels.select(F.explode("members").alias("m"))
-        .filter(F.col("m.mtype") == "way")
-        .select(F.col("m.mid").alias("id"))
-    )
-    way_ids = (
-        ways.filter(pred).select("id").unionByName(rel_way_ids).distinct()
-    )
-    closure_ways = _pin(ways.join(way_ids, "id", "left_semi"))
+    # (final tables pin LAZILY: materialization folds into the first
+    # downstream job instead of running as a serial barrier job here —
+    # same work, fewer synchronization points)
+    if no_rels:
+        # the way closure is exactly the pred matches — no id-set union,
+        # no distinct, no semi-join back onto the way table
+        closure_ways = ways.filter(pred).localCheckpoint(eager=False)
+    else:
+        rel_way_ids = (
+            closure_rels.select(F.explode("members").alias("m"))
+            .filter(F.col("m.mtype") == "way")
+            .select(F.col("m.mid").alias("id"))
+        )
+        way_ids = (
+            ways.filter(pred).select("id").unionByName(rel_way_ids).distinct()
+        )
+        closure_ways = ways.join(way_ids, "id", "left_semi").localCheckpoint(
+            eager=False
+        )
 
     # --- nodes: matched directly, way refs, or relation node members -----
     way_node_ids = closure_ways.select(F.explode("refs").alias("id"))
-    rel_node_ids = (
-        closure_rels.select(F.explode("members").alias("m"))
-        .filter(F.col("m.mtype") == "node")
-        .select(F.col("m.mid").alias("id"))
-    )
-    node_ids = (
-        nodes.filter(pred)
-        .select("id")
-        .unionByName(way_node_ids)
-        .unionByName(rel_node_ids)
-        .distinct()
-    )
-    closure_nodes = _pin(nodes.join(node_ids, "id", "left_semi"))
+    node_ids = nodes.filter(pred).select("id").unionByName(way_node_ids)
+    if not no_rels:
+        rel_node_ids = (
+            closure_rels.select(F.explode("members").alias("m"))
+            .filter(F.col("m.mtype") == "node")
+            .select(F.col("m.mid").alias("id"))
+        )
+        node_ids = node_ids.unionByName(rel_node_ids)
+    closure_nodes = nodes.join(
+        node_ids.distinct(), "id", "left_semi"
+    ).localCheckpoint(eager=False)
 
     return EntityTables(closure_nodes, closure_ways, closure_rels)

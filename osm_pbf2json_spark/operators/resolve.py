@@ -39,19 +39,27 @@ def resolve_way_coords(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     Ways whose refs all miss resolve to an empty array (reference yields an
     empty coordinate vec, mod.rs:36-47); ways with empty refs likewise.
     """
+    # LEFT join + null-skipping collect: the outer explode keeps one row
+    # per way even for empty refs, and unresolved refs collect as NULL
+    # entries that collect_list drops — so every way id reaches the
+    # aggregation and ways with zero resolvable refs come out with an
+    # empty array directly. (The previous formulation inner-joined and
+    # then LEFT-joined the result back onto the way-id list: one more
+    # full shuffle of the hottest join's output for the same rows.)
     exploded = ways.select("id", F.posexplode_outer("refs").alias("pos", "ref"))
     joined = exploded.join(
-        nodes.select(F.col("id").alias("ref"), "lon", "lat"), "ref", "inner"
+        nodes.select(F.col("id").alias("ref"), "lon", "lat"), "ref", "left"
     )
-    resolved = joined.groupBy("id").agg(
-        F.array_sort(F.collect_list(F.struct("pos", "lon", "lat"))).alias("pcoords")
-    )
-    # left join back so ways with zero resolvable refs keep an empty array
-    return ways.select("id").join(resolved, "id", "left").select(
+    return joined.groupBy("id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("lon").isNotNull(), F.struct("pos", "lon", "lat"))
+            )
+        ).alias("pcoords")
+    ).select(
         "id",
-        F.coalesce(
-            F.transform("pcoords", lambda s: F.struct(s.lon.alias("lon"), s.lat.alias("lat"))),
-            F.array().cast(COORD_ARR),
+        F.transform(
+            "pcoords", lambda s: F.struct(s.lon.alias("lon"), s.lat.alias("lat"))
         ).alias("coords"),
     )
 
