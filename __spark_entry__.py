@@ -733,6 +733,13 @@ def q_boundaries_e2e(spark, sf_dir):
             F.concat(F.lit("B"), F.lpad(F.col("bid").cast("string"), 3, "0")),
         ).alias("tags"),
     )
+    # pin the generator aggregations (same rationale as q_streets_e2e):
+    # closure references each entity table several times, and every
+    # un-pinned reference re-runs the orders scan + distinct behind
+    # `bids` — a real pipeline re-reads parquet instead
+    nodes = nodes.localCheckpoint(eager=False)
+    ways = ways.localCheckpoint(eager=False)
+    rels = rels.localCheckpoint(eager=False)
     out = boundaries(EntityTables(nodes, ways, rels), [8])
     return out.select(
         "relation_id",

@@ -77,6 +77,7 @@ def train_ivf_centroids(
     iters: int = 8,
     vec_col: str = "embedding",
     seed: int = 42,
+    sample: np.ndarray | None = None,
 ) -> np.ndarray:
     """Driver-side spherical k-means on a deterministic sample (the IVF
     coarse quantizer). The sample is tiny and bounded; at 10¹² rows this
@@ -86,18 +87,14 @@ def train_ivf_centroids(
     deterministic, partition-UNbiased draw executed as one TakeOrdered
     job (per-partition top-k + driver merge), unlike `limit()` which
     takes whatever rows the first partitions yield. Size `n_centroids`
-    ~sqrt(corpus rows) at scale so probe cells stay balanced."""
-    sample = np.array(
-        [
-            r[0]
-            for r in df.select(vec_col)
-            .orderBy(F.xxhash64(F.col(vec_col)))
-            .limit(sample_rows)
-            .collect()
-        ],
-        dtype=np.float64,
-    )
-    sample /= np.linalg.norm(sample, axis=1, keepdims=True) + 1e-12
+    ~sqrt(corpus rows) at scale so probe cells stay balanced.
+
+    `sample` short-circuits the draw with an already-collected
+    `_pq_sample` array — composed trainers (IVF-PQ) share ONE sample
+    job instead of re-scanning the corpus per trainer."""
+    if sample is None:
+        sample = _pq_sample(df, vec_col, sample_rows)
+    sample = sample / (np.linalg.norm(sample, axis=1, keepdims=True) + 1e-12)
     rng = np.random.Generator(np.random.PCG64(seed))
     cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
     for _ in range(iters):
@@ -243,6 +240,7 @@ def train_pq_codebooks(
     iters: int = 8,
     vec_col: str = "embedding",
     seed: int = 42,
+    sample: np.ndarray | None = None,
 ) -> np.ndarray:
     """Driver-side PQ training: split dims into `m` subspaces, k-means
     (`k_codes` centroids) per subspace on the same deterministic
@@ -254,7 +252,8 @@ def train_pq_codebooks(
     256 bytes; its PQ codes are `m` small ints — at 10^12 vectors the
     difference between a corpus that fits executor memory and one that
     doesn't."""
-    sample = _pq_sample(df, vec_col, sample_rows)
+    if sample is None:
+        sample = _pq_sample(df, vec_col, sample_rows)
     return _subspace_kmeans(sample, m, k_codes, iters, seed)
 
 
@@ -267,13 +266,15 @@ def train_pq_codebooks_residual(
     iters: int = 8,
     vec_col: str = "embedding",
     seed: int = 42,
+    sample: np.ndarray | None = None,
 ) -> np.ndarray:
     """Residual PQ training: quantize (v − centroid[cell]) instead of v.
     Residuals concentrate around the origin, so the same code budget
     captures far more of the remaining variance — the standard IVF-PQ
     accuracy upgrade. Same sample/k-means machinery as
     train_pq_codebooks (shared helpers), applied to residuals."""
-    sample = _pq_sample(df, vec_col, sample_rows)
+    if sample is None:
+        sample = _pq_sample(df, vec_col, sample_rows)
     cents = np.asarray(centroids, dtype=np.float64)
     xn = sample / (np.linalg.norm(sample, axis=1, keepdims=True) + 1e-12)
     resid = sample - cents[(xn @ cents.T).argmax(axis=1)]
@@ -290,6 +291,7 @@ def train_opq(
     outer: int = 6,
     vec_col: str = "embedding",
     seed: int = 42,
+    sample: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """OPQ (Ge et al., CVPR 2013): learn an orthonormal rotation R so
     the product quantizer's independent-subspace assumption fits the
@@ -303,7 +305,8 @@ def train_opq(
     composes with residual IVF-PQ. Rotation preserves dot products and
     norms, so ADC scoring is unchanged except queries (and centroid
     cross-terms) are rotated into codebook space."""
-    sample = _pq_sample(df, vec_col, sample_rows)
+    if sample is None:
+        sample = _pq_sample(df, vec_col, sample_rows)
     if centroids is not None:
         cents = np.asarray(centroids, dtype=np.float64)
         xn = sample / (np.linalg.norm(sample, axis=1, keepdims=True) + 1e-12)
@@ -539,8 +542,19 @@ def cosine_topk_ivfpq(
             "centroids they were residual-trained against — training fresh "
             "centroids here would silently corrupt every ADC score"
         )
+    # ONE TakeOrdered sample job feeds both trainers — the draw is
+    # deterministic (smallest xxhash64 rows), so sharing it is
+    # value-identical to each trainer collecting its own, and at scale
+    # it halves the training-time corpus scans
+    shared = (
+        _pq_sample(df, vec_col, 2048)
+        if centroids is None or codebooks is None
+        else None
+    )
     if centroids is None:
-        centroids = train_ivf_centroids(df, n_centroids, vec_col=vec_col, seed=seed)
+        centroids = train_ivf_centroids(
+            df, n_centroids, vec_col=vec_col, seed=seed, sample=shared
+        )
     cents = np.asarray(centroids, dtype=np.float64)
     if codebooks is None:
         if opq:
@@ -551,15 +565,18 @@ def cosine_topk_ivfpq(
                 k_codes=k_codes,
                 vec_col=vec_col,
                 seed=seed,
+                sample=shared,
             )
         else:
             codebooks = (
                 train_pq_codebooks_residual(
-                    df, cents, m=m, k_codes=k_codes, vec_col=vec_col, seed=seed
+                    df, cents, m=m, k_codes=k_codes, vec_col=vec_col, seed=seed,
+                    sample=shared,
                 )
                 if residual
                 else train_pq_codebooks(
-                    df, m=m, k_codes=k_codes, vec_col=vec_col, seed=seed
+                    df, m=m, k_codes=k_codes, vec_col=vec_col, seed=seed,
+                    sample=shared,
                 )
             )
     elif opq and rotation is None:

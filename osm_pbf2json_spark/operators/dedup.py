@@ -160,13 +160,18 @@ def minhash_signatures(
         F.when(F.col("h") == i64min, F.col("h")).otherwise(F.abs(F.col("h"))),
         F.lit(_MERSENNE_P),
     )
+    # x is projected ONCE below the aggregate: inlining it would make
+    # every one of the num_perm update expressions re-evaluate the
+    # when/abs/pmod chain per shingle row (aggregate update expressions
+    # get no common-subexpression elimination)
+    shx = sh.select("id", x.alias("_x"))
     mins = [
-        F.min((F.lit(int(a[i])) * x + F.lit(int(b[i]))) % F.lit(_MERSENNE_P)).alias(
-            f"_s{i}"
-        )
+        F.min(
+            (F.lit(int(a[i])) * F.col("_x") + F.lit(int(b[i]))) % F.lit(_MERSENNE_P)
+        ).alias(f"_s{i}")
         for i in range(num_perm)
     ]
-    grouped = sh.groupBy("id").agg(*mins)
+    grouped = shx.groupBy("id").agg(*mins)
     return grouped.select(
         "id", F.array(*[F.col(f"_s{i}") for i in range(num_perm)]).alias("sig")
     )
@@ -238,7 +243,11 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("id", "bk.band", "bk.bh")
+    ).select("id", "bk.band", "bk.bh").localCheckpoint(eager=False)
+    # (banded is O(docs×bands) small rows; pinning it keeps the
+    # LSH self-join below from running the num_perm-way signature
+    # aggregation once PER SIDE — the self-join duplicates the whole
+    # upstream subtree otherwise)
     cand = (
         banded.alias("l")
         .join(banded.alias("r"), ["band", "bh"])
