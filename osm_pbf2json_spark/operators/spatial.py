@@ -70,33 +70,72 @@ class BroadcastPolygonIndex:
             cmap = self.cell_maps.setdefault(lvl, {})
             for c in cells.tolist():
                 cmap.setdefault(c, []).append(idx)
+        # CSR form per level (sorted cell array + offsets + flat candidate
+        # indexes): lookup resolves a batch's unique cells with ONE
+        # searchsorted instead of a Python dict probe per cell
+        self._csr: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        for lvl, cmap in self.cell_maps.items():
+            cs = np.fromiter(cmap.keys(), dtype=np.int64, count=len(cmap))
+            order = np.argsort(cs)
+            cs = cs[order]
+            cand_lists = list(cmap.values())
+            cnts = np.array([len(cand_lists[i]) for i in order], dtype=np.int64)
+            starts = np.concatenate([[0], np.cumsum(cnts)]).astype(np.int64)
+            flat = np.concatenate(
+                [np.asarray(cand_lists[i], dtype=np.int64) for i in order]
+            ) if len(order) else np.empty(0, np.int64)
+            self._csr[lvl] = (cs, starts, flat)
 
     def lookup(self, lon: np.ndarray, lat: np.ndarray):
         """For each point: matching polygon index (first in list order) or
         -1. Vectorized per CANDIDATE POLYGON, not per cell: one np.unique
-        over the batch's cells, then one masked PIP refine per polygon
-        present — O(#polys-present) numpy calls per batch instead of
-        O(#cells-present) Python iterations."""
+        over the batch's cells, a searchsorted probe into the CSR cell
+        index, and one masked PIP refine per polygon present —
+        O(#polys-present) numpy calls per batch with no per-cell Python
+        iteration anywhere."""
         out = np.full(len(lon), -1, dtype=np.int64)
-        # one unique() per level, then per-polygon masks in global polygon
-        # order so "first polygon in list order wins" holds across levels
-        per_poly: dict[int, list] = {}
-        for lvl, cmap in sorted(self.cell_maps.items()):
+        # expand to (point, candidate-poly) PAIRS per level — candidate
+        # fan-out per point is tiny (its one covering cell's list), so
+        # the pair set is ~O(points); processing pair blocks in global
+        # polygon order keeps "first polygon in list order wins" across
+        # levels without materializing a per-polygon point mask
+        pair_pt: list = []
+        pair_ci: list = []
+        for lvl in sorted(self._csr):
+            cs, starts, flat = self._csr[lvl]
+            if not len(cs):
+                continue
             cells = T.quad_cell(lon, lat, lvl)
             uniq, inv = np.unique(cells, return_inverse=True)
-            poly_uidx: dict[int, list[int]] = {}
-            for ui, c in enumerate(uniq.tolist()):
-                for ci in cmap.get(c, ()):
-                    poly_uidx.setdefault(ci, []).append(ui)
-            for ci, uidxs in poly_uidx.items():
-                umask = np.zeros(len(uniq), dtype=bool)
-                umask[uidxs] = True
-                per_poly.setdefault(ci, []).append(umask[inv])
-        for ci in sorted(per_poly):
-            cand = np.logical_or.reduce(per_poly[ci]) & (out < 0)
-            if not cand.any():
+            pos = np.searchsorted(cs, uniq)
+            posc = np.minimum(pos, len(cs) - 1)
+            hitc = cs[posc] == uniq
+            # per-point candidate count via its unique-cell slot
+            ucnt = np.where(hitc, starts[posc + 1] - starts[posc], 0)
+            cnt_pt = ucnt[inv]
+            ptsel = np.flatnonzero(cnt_pt)
+            if not len(ptsel):
                 continue
-            idxs = np.flatnonzero(cand)
+            cnt = cnt_pt[ptsel]
+            st = starts[posc[inv[ptsel]]]
+            offs = np.arange(int(cnt.sum())) - np.repeat(
+                np.concatenate([[0], np.cumsum(cnt[:-1])]), cnt
+            )
+            pair_pt.append(np.repeat(ptsel, cnt))
+            pair_ci.append(flat[np.repeat(st, cnt) + offs])
+        if not pair_pt:
+            return out
+        pp = np.concatenate(pair_pt)
+        pc = np.concatenate(pair_ci)
+        order = np.argsort(pc, kind="stable")
+        pp, pc = pp[order], pc[order]
+        cuts = np.flatnonzero(np.concatenate([[True], pc[1:] != pc[:-1], [True]]))
+        for b0, b1 in zip(cuts[:-1], cuts[1:]):
+            ci = int(pc[b0])
+            idxs = pp[b0:b1]
+            idxs = idxs[out[idxs] < 0]
+            if not len(idxs):
+                continue
             m = points_in_polygons(
                 np.stack([lon[idxs], lat[idxs]], axis=1), self.polys[ci]
             )
@@ -150,11 +189,26 @@ def pip_tile_rollup(
     """
     index = BroadcastPolygonIndex(polygon_rows, level=level)
     keys = list(index.keys)
+    karr = np.array([str(k) for k in keys] + [None], dtype=object)
+
+    def _reduce_pairs(t, h, w):
+        # group-sum (tile, hit) pairs with one lexsort — tile ids span
+        # the full int64 range (hex ids are Hilbert-mixed), so no
+        # single-key packing is possible without overflow
+        order = np.lexsort((h, t))
+        t, h, w = t[order], h[order], w[order]
+        new = np.concatenate([[True], (t[1:] != t[:-1]) | (h[1:] != h[:-1])])
+        idx = np.cumsum(new) - 1
+        n = np.bincount(idx, weights=w).astype(np.int64)
+        s = np.flatnonzero(new)
+        return t[s], h[s], n
 
     def kernel(iterator):
         import pandas as pd
 
-        acc: dict = {}
+        ts: list = []
+        hs: list = []
+        ws: list = []
         for pdf in iterator:
             lon = pdf[lon_col].to_numpy(np.float64)
             lat = pdf[lat_col].to_numpy(np.float64)
@@ -163,21 +217,31 @@ def pip_tile_rollup(
                 tile = T.hex_cell(lon, lat, res)
             else:
                 tile = T.quad_cell(lon, lat, res)
-            comb = pd.DataFrame({"h": hit, "t": tile}).groupby(["h", "t"]).size()
-            for (h, t), n in comb.items():
-                k = (int(h), int(t))
-                acc[k] = acc.get(k, 0) + int(n)
-        yield pd.DataFrame(
-            [
-                {
-                    "polygon_key": None if h < 0 else str(keys[h]),
-                    "tile": t,
-                    "pn": n,
-                }
-                for (h, t), n in acc.items()
-            ],
-            columns=["polygon_key", "tile", "pn"],
+            t, h, n = _reduce_pairs(
+                tile.astype(np.int64), hit, np.ones(len(hit), np.int64)
+            )
+            ts.append(t)
+            hs.append(h)
+            ws.append(n)
+        if not ts:
+            yield pd.DataFrame({
+                "polygon_key": pd.Series([], dtype=object),
+                "tile": pd.Series([], dtype=np.int64),
+                "pn": pd.Series([], dtype=np.int64),
+            })
+            return
+        # fold the per-batch partials once, all vectorized — no Python
+        # per-pair accumulation (the previous pandas groupby + dict loop
+        # was ~100 ms per 65k-row batch, the single hottest piece of the
+        # flagship steady-state kernel)
+        t, h, n = _reduce_pairs(
+            np.concatenate(ts), np.concatenate(hs), np.concatenate(ws)
         )
+        yield pd.DataFrame({
+            "polygon_key": karr[h],  # hit -1 → karr[-1] → None
+            "tile": t,
+            "pn": n,
+        })
 
     partial = points.mapInPandas(kernel, "polygon_key string, tile long, pn long")
     return partial.groupBy("polygon_key", "tile").agg(F.sum("pn").alias("n_points"))
