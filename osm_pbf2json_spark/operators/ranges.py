@@ -27,10 +27,13 @@ def interval_overlap_join(
     end_col: str,
     bin_size: int = 32,
 ) -> DataFrame:
-    """df: one interval per row. Returns (a, b) id pairs, a < b."""
-    from ..plans.partitioning import widen_narrow_input
+    """df: one interval per row. Returns (a, b) id pairs, a < b.
 
-    df = widen_narrow_input(df)
+    The self-join is pinned to SHUFFLE_HASH (same rationale as
+    bbox_self_join): pair volume ≫ input rows, and a broadcast plan over
+    a small-estimate input would evaluate every candidate pair in the
+    narrow probe stage; the pinned shuffle also makes explicit input
+    widening unnecessary."""
 
     def bin_of(c):
         return F.floor(c / bin_size).cast("long")
@@ -51,7 +54,7 @@ def interval_overlap_join(
         "k", "_bin", F.col("id").alias("b"), F.col("s").alias("sb"), F.col("e").alias("eb")
     )
     return (
-        l.join(r, ["k", "_bin"])
+        l.join(r.hint("shuffle_hash"), ["k", "_bin"])
         .filter(F.col("a") < F.col("b"))
         .filter((F.col("sa") <= F.col("eb")) & (F.col("sb") <= F.col("ea")))
         .filter(bin_of(F.greatest(F.col("sa"), F.col("sb"))) == F.col("_bin"))

@@ -267,10 +267,12 @@ def pip_join_cells(
     granularity as quad level) on BOTH sides, so the equi-join can never
     level-mix. Choose it so the largest polygon's covering stays bounded:
     cost grows with (polygon_extent/cell_size)² per polygon row, while a
-    coarser level only adds refine candidates, never wrong results."""
-    from ..plans.partitioning import widen_narrow_input
+    coarser level only adds refine candidates, never wrong results.
 
-    points = widen_narrow_input(points)
+    The point side needs no explicit widening: the pinned shuffle join
+    redistributes it across `spark.sql.shuffle.partitions` anyway, so
+    the ray-cast refine always runs at full parallelism and a narrow
+    single-file input costs no extra round-robin exchange."""
     s = 360.0 / (1 << level)
 
     pts = points.withColumn(
@@ -313,7 +315,14 @@ def pip_join_cells(
         )
         .drop("_x0", "_x1", "_y0", "_y1")
     )
-    cand = pts.join(pol, "_cell")
+    # SHUFFLE_HASH: this is the large×large path, so the correct plan is
+    # a shuffled join on the cell key. Left to its own estimates the
+    # planner can BROADCAST THE POINT SIDE when its parquet stats fall
+    # under the auto-broadcast threshold (observed: BuildLeft over the
+    # 600k-point scan), which moves the whole ray-cast refine into the
+    # polygon side's near-serial stage; the hint pins the parallel shape
+    # at every size.
+    cand = pts.join(pol.hint("shuffle_hash"), "_cell")
     refined = cand.filter(
         pip_contains_col(F.col(lon_col), F.col(lat_col), F.col("polygons"))
     )
@@ -361,14 +370,15 @@ def bbox_self_join(
     region — a pure codegen predicate, so no distinct() shuffle of the
     pair set is ever needed.
 
-    The input is widened first: the join's cost is the per-cell pair
-    volume (≫ input rows), and a narrow input would let AQE broadcast one
-    side and evaluate every candidate pair inside the narrow side's
-    scan stage — serial no matter how many cores exist.
+    The self-join is pinned to SHUFFLE_HASH: the join's cost is the
+    per-cell pair volume (≫ input rows), and a broadcast plan — which
+    the planner picks whenever the input's size estimate is small —
+    would evaluate every candidate pair inside the narrow probe side's
+    scan stage, serial no matter how many cores exist. The pinned
+    shuffle redistributes both sides across the full shuffle
+    parallelism, so no explicit input widening (an extra round-robin
+    exchange) is needed either.
     """
-    from ..plans.partitioning import widen_narrow_input
-
-    boxes = widen_narrow_input(boxes)
     withc = boxes.withColumn(
         "_cell", F.explode(_bbox_cells(F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"), pad, cell))
     )
@@ -390,7 +400,7 @@ def bbox_self_join(
     rx = F.greatest(F.col("ax0") - pad, F.col("bx0"))
     ry = F.greatest(F.col("ay0") - pad, F.col("by0"))
     pairs = (
-        l.join(r, "_cell")
+        l.join(r.hint("shuffle_hash"), "_cell")
         .filter(F.col("a") < F.col("b"))
         .filter(
             (F.col("ax0") - pad <= F.col("bx1"))
