@@ -93,10 +93,36 @@ def _group_midpoints(
     bound = 2.0 * gmaxd * delta + 2.0 * delta * delta
     near = (d2 <= np.repeat(dmin + bound, gnpts)).astype(np.int64)
     ambiguous = np.flatnonzero(np.add.reduceat(near, gp_start) > 1)
-    for g in ambiguous.tolist():
-        s0 = int(gp_start[g])
-        s1 = s0 + int(gnpts[g])
-        loc_x[g], loc_y[g] = midpoint(np.column_stack([px[s0:s1], py[s0:s1]]))
+    if len(ambiguous):
+        # exact-equidistant candidates (e.g. EVERY 2-point group: both
+        # points tie around their mean) make `ambiguous` the COMMON
+        # case, so the recompute is batched by group length instead of
+        # one scalar midpoint() call per group. Each length class is
+        # gathered as a C-contiguous (g, L, 2) block whose column views
+        # have the same stride-2, length-L layout as midpoint()'s
+        # xy[:, 0] — numpy's (pairwise) reduction tree depends on
+        # length/stride only, so the batched mean is bit-identical to
+        # the scalar one. Very long groups fall back to the scalar call
+        # to bound the padded gather.
+        lens = gnpts[ambiguous]
+        small = lens <= 4096
+        for L in np.unique(lens[small]).tolist():
+            sel = ambiguous[small][lens[small] == L]
+            gidx = gp_start[sel][:, None] + np.arange(L)[None, :]
+            blk = np.empty((len(sel), L, 2))
+            blk[:, :, 0] = px[gidx]
+            blk[:, :, 1] = py[gidx]
+            cx = blk[:, :, 0].mean(axis=1)
+            cy = blk[:, :, 1].mean(axis=1)
+            d2b = (blk[:, :, 0] - cx[:, None]) ** 2 + (blk[:, :, 1] - cy[:, None]) ** 2
+            win = np.argmin(d2b, axis=1)  # first minimal, like midpoint()
+            rows = np.arange(len(sel))
+            loc_x[sel] = blk[rows, win, 0]
+            loc_y[sel] = blk[rows, win, 1]
+        for g in ambiguous[~small].tolist():
+            s0 = int(gp_start[g])
+            s1 = s0 + int(gnpts[g])
+            loc_x[g], loc_y[g] = midpoint(np.column_stack([px[s0:s1], py[s0:s1]]))
     return loc_x, loc_y
 
 
