@@ -64,6 +64,12 @@ def closure(tables: EntityTables, pred: Column, max_rounds: int = 16) -> EntityT
                 .select(F.col("m.mid").alias("id"))
                 .distinct()
             )
+            # probe BEFORE pinning: flat relation sets (the common OSM
+            # admin case — no nested member relations) terminate on this
+            # one first-row probe instead of paying an eager anti-join
+            # checkpoint job first
+            if member_rels.isEmpty():
+                break
             new_ids = _pin(member_rels.join(rel_ids, "id", "left_anti"))
             if new_ids.isEmpty():
                 break

@@ -152,10 +152,12 @@ def objects(
     out_ways = closed.ways.filter(pred)
     out_rels = closed.relations.filter(pred)
 
-    # pin: way coords feed both the way output branch and relation resolve
-    from .closure import _pin
-
-    way_coords = _pin(resolve_way_coords(closed.ways, closed.nodes))
+    # pin: way coords feed both the way output branch and relation
+    # resolve; lazy so materialization folds into the first consumer's
+    # job instead of a separate barrier job here
+    way_coords = resolve_way_coords(closed.ways, closed.nodes).localCheckpoint(
+        eager=False
+    )
     rel_coords = resolve_relation_coords(closed.relations, way_coords, closed.nodes)
 
     node_part = out_nodes.select(
