@@ -476,7 +476,19 @@ def _parse_boundaries_flat(right: pd.DataFrame):
     return bnds, polys, bb
 
 
-def _split_batch(pdf: pd.DataFrame, bnds, polys, bb, cand_lists=None) -> list[dict]:
+def _gather_ranges(starts: np.ndarray, cnt: np.ndarray) -> np.ndarray:
+    """Concatenated [starts[i], starts[i]+cnt[i]) index ranges — the
+    vectorized form of np.concatenate([np.arange(s, s+c) ...])."""
+    tot = int(cnt.sum())
+    if not tot:
+        return np.empty(0, np.int64)
+    offs = np.arange(tot) - np.repeat(
+        np.concatenate([[0], np.cumsum(cnt[:-1])]), cnt
+    )
+    return np.repeat(starts, cnt) + offs
+
+
+def _split_batch(pdf: pd.DataFrame, bnds, polys, bb) -> list[dict]:
     """Vectorized J3→J7 boundary split of one Arrow batch of street rows.
 
     Fully offsets-based: segments arrive PRE-FLATTENED as four parallel
@@ -555,39 +567,38 @@ def _split_batch(pdf: pd.DataFrame, bnds, polys, bb, cand_lists=None) -> list[di
         sb[nzst, 3] = np.maximum.reduceat(fy, starts)
 
     nb = len(bnds)
-    if cand_lists is None:
-        if nb:
-            # chunk the streets axis so the n×nb broadcast stays at ~2M
-            # cells per temporary (a 10k-row batch × 5k broadcast
-            # boundaries would otherwise allocate ~50 MB per comparison)
-            cand3 = []
-            step = max(1, _PAIR_CHUNK_CELLS // nb)
-            for c0 in range(0, n, step):
-                blk = sb[c0 : c0 + step]
-                hit = (
-                    (bb[None, :, 0] <= blk[:, None, 2])
-                    & (bb[None, :, 2] >= blk[:, None, 0])
-                    & (bb[None, :, 1] <= blk[:, None, 3])
-                    & (bb[None, :, 3] >= blk[:, None, 1])
-                )
-                cand3.extend(
-                    np.flatnonzero(hit[i]).tolist() for i in range(len(blk))
-                )
-        else:
-            cand3 = [[] for _ in range(n)]
-    else:
-        # cell-join pre-candidates still need the exact J3 bbox test
-        cand3 = [
-            [
-                k
-                for k in cand_lists[i]
-                if bb[k, 0] <= sb[i, 2]
-                and bb[k, 2] >= sb[i, 0]
-                and bb[k, 1] <= sb[i, 3]
-                and bb[k, 3] >= sb[i, 1]
-            ]
-            for i in range(n)
-        ]
+    # J3: candidate (street, boundary) pairs as parallel index arrays,
+    # straight off np.nonzero of the chunked bbox-overlap block (row
+    # major ⇒ street-ascending within a chunk), stably sorted by
+    # boundary so per-boundary street lists stay ascending — no
+    # per-street Python list building anywhere
+    p3i_parts: list = []
+    p3k_parts: list = []
+    if nb:
+        # chunk the streets axis so the n×nb broadcast stays at ~2M
+        # cells per temporary (a 10k-row batch × 5k broadcast
+        # boundaries would otherwise allocate ~50 MB per comparison)
+        step = max(1, _PAIR_CHUNK_CELLS // nb)
+        for c0 in range(0, n, step):
+            blk = sb[c0 : c0 + step]
+            hit = (
+                (bb[None, :, 0] <= blk[:, None, 2])
+                & (bb[None, :, 2] >= blk[:, None, 0])
+                & (bb[None, :, 1] <= blk[:, None, 3])
+                & (bb[None, :, 3] >= blk[:, None, 1])
+            )
+            r, c = np.nonzero(hit)
+            p3i_parts.append(r.astype(np.int64) + c0)
+            p3k_parts.append(c.astype(np.int64))
+    p3i = np.concatenate(p3i_parts) if p3i_parts else np.empty(0, np.int64)
+    p3k = np.concatenate(p3k_parts) if p3k_parts else np.empty(0, np.int64)
+    korder = np.argsort(p3k, kind="stable")
+    p3i, p3k = p3i[korder], p3k[korder]
+    kcuts = (
+        np.flatnonzero(np.concatenate([[True], p3k[1:] != p3k[:-1], [True]]))
+        if len(p3k)
+        else np.array([0], np.int64)
+    )
 
     # global within-seg edge buffers (street-contiguous by construction)
     pt_seg = np.repeat(np.arange(S), seg_npts)
@@ -610,19 +621,20 @@ def _split_batch(pdf: pd.DataFrame, bnds, polys, bb, cand_lists=None) -> list[di
     else:
         head_x = head_y = np.full(S, np.nan)
 
-    # J4: exact refine per boundary over edge/head gathers
-    pair_by_k: dict[int, list[int]] = {}
-    for i in range(n):
-        for k in cand3[i]:
-            pair_by_k.setdefault(k, []).append(i)
+    # J4: exact refine per boundary over edge/head gathers; passing
+    # (street, boundary) pairs accumulate as parallel arrays, emitted
+    # per-boundary in ascending-k blocks with ascending streets inside
     E_all = (
         np.column_stack([ex0, ey0, ex1, ey1])
-        if pair_by_k and len(e_seg)
+        if len(p3k) and len(e_seg)
         else np.zeros((0, 4))
     )
-    cand4: list[list[int]] = [[] for _ in range(n)]
-    for k in sorted(pair_by_k):
-        idxs = pair_by_k[k]
+    c4i_parts: list = []
+    c4k_parts: list = []
+    for kb in range(len(kcuts) - 1):
+        b0k, b1k = kcuts[kb], kcuts[kb + 1]
+        k = int(p3k[b0k])
+        idxs = p3i[b0k:b1k]
         hitk = np.zeros(len(idxs), dtype=bool)
         redges = [
             _edges(np.asarray(ring, np.float64))
@@ -636,9 +648,7 @@ def _split_batch(pdf: pd.DataFrame, bnds, polys, bb, cand_lists=None) -> list[di
         )
         e_cnt = st_e_cnt[idxs]
         if len(redges) and e_cnt.sum():
-            eidx = np.concatenate(
-                [np.arange(st_e_off[i], st_e_off[i + 1]) for i in idxs]
-            )
+            eidx = _gather_ranges(st_e_off[idxs], e_cnt)
             owner_t = np.repeat(np.arange(len(idxs)), e_cnt)
             # chunk the E×R orientation matrix at ~2M cells
             step = max(1, _PAIR_CHUNK_CELLS // max(1, len(redges)))
@@ -655,9 +665,7 @@ def _split_batch(pdf: pd.DataFrame, bnds, polys, bb, cand_lists=None) -> list[di
                 )
         h_cnt = st_seg_cnt[idxs]
         if h_cnt.sum():
-            hsidx = np.concatenate(
-                [np.arange(seg_off0[i], seg_off0[i + 1]) for i in idxs]
-            )
+            hsidx = _gather_ranges(seg_off0[idxs], h_cnt)
             H = np.column_stack([head_x[hsidx], head_y[hsidx]])
             inside = points_in_polygons(H, polys[k])
             hitk |= (
@@ -668,12 +676,16 @@ def _split_batch(pdf: pd.DataFrame, bnds, polys, bb, cand_lists=None) -> list[di
                 )
                 > 0
             )
-        for t in np.flatnonzero(hitk).tolist():
-            cand4[idxs[t]].append(k)
+        t_hit = np.flatnonzero(hitk)
+        c4i_parts.append(idxs[t_hit])
+        c4k_parts.append(np.full(len(t_hit), k, np.int64))
+    c4i = np.concatenate(c4i_parts) if c4i_parts else np.empty(0, np.int64)
+    c4k = np.concatenate(c4k_parts) if c4k_parts else np.empty(0, np.int64)
 
     out_rows: list[dict] = []
-    cand_streets = [i for i in range(n) if cand4[i]]
-    if cand_streets:
+    has4 = np.zeros(n, dtype=bool)
+    has4[c4i] = True
+    if len(c4i):
         # per-seg line centroid (== line_centroid): one bincount pass;
         # single-point/degenerate segs fall back to their first point
         elen = np.hypot(ex1 - ex0, ey1 - ey0)
@@ -689,28 +701,27 @@ def _split_batch(pdf: pd.DataFrame, bnds, polys, bb, cand_lists=None) -> list[di
         )
 
         # J5 ownership per boundary, ascending k = first-match order
-        pair4_by_k: dict[int, list[int]] = {}
-        for i in cand_streets:
-            for k in cand4[i]:
-                pair4_by_k.setdefault(k, []).append(i)
+        # (c4i/c4k are already grouped in ascending-k blocks)
         owner = np.full(S, -1, dtype=np.int64)
-        for k in sorted(pair4_by_k):
-            sidx = np.concatenate(
-                [np.arange(seg_off0[i], seg_off0[i + 1]) for i in pair4_by_k[k]]
-            )
+        kcuts4 = np.flatnonzero(
+            np.concatenate([[True], c4k[1:] != c4k[:-1], [True]])
+        )
+        for kb in range(len(kcuts4) - 1):
+            b0k, b1k = kcuts4[kb], kcuts4[kb + 1]
+            k = int(c4k[b0k])
+            kidx = c4i[b0k:b1k]
+            sidx = _gather_ranges(seg_off0[kidx], st_seg_cnt[kidx])
             sidx = sidx[owner[sidx] < 0]
             if not len(sidx):
                 continue
             inside = points_in_polygons(cent_pts[sidx], polys[k])
             owner[sidx[inside]] = k
 
-        # J7 fallback + grouping by (street, owner NAME)
-        cmask_st = np.zeros(n, dtype=bool)
-        cmask_st[cand_streets] = True
-        sub = np.flatnonzero(cmask_st[st_of_seg])
-        fallback_st = np.full(n, -1, np.int64)
-        for i in cand_streets:
-            fallback_st[i] = cand4[i][0]
+        # J7 fallback (min k per street = first candidate in ascending
+        # order) + grouping by (street, owner NAME)
+        sub = np.flatnonzero(has4[st_of_seg])
+        fallback_st = np.full(n, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(fallback_st, c4i, c4k)
         fown = owner[sub]
         fown = np.where(fown >= 0, fown, fallback_st[st_of_seg[sub]])
         name_codes, name_uniques = pd.factorize(
@@ -773,7 +784,7 @@ def _split_batch(pdf: pd.DataFrame, bnds, polys, bb, cand_lists=None) -> list[di
                     ],
                 }
             )
-    no_cand = [i for i in range(n) if not cand4[i]]
+    no_cand = np.flatnonzero(~has4).tolist()
     if no_cand:
         # passthrough (boundary stays NULL): attrs come straight off the
         # input columns; segments reassemble as views over the buffers
