@@ -383,7 +383,12 @@ def pip_tile_rollup(
             "pn": n,
         })
 
-    partial = points.mapInPandas(kernel, "polygon_key string, tile long, pn long")
+    # project to the two columns the kernel reads — mapInPandas is
+    # opaque to Catalyst, so without this every point column crosses
+    # the Arrow boundary (guide §4: pass only what the function needs)
+    partial = points.select(lon_col, lat_col).mapInPandas(
+        kernel, "polygon_key string, tile long, pn long"
+    )
     return partial.groupBy("polygon_key", "tile").agg(F.sum("pn").alias("n_points"))
 
 
