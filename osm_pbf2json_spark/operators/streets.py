@@ -309,6 +309,12 @@ def _cluster_group(pdf: pd.DataFrame) -> pd.DataFrame:
     loc_x, loc_y = _group_midpoints(px, py, cpstart, cnpts)
 
     cend = np.concatenate([cstart[1:], [len(glex)]])
+    # bulk .tolist() conversions: per-element numpy-scalar indexing and
+    # int() casts in the nested comprehension were ~85% of this kernel
+    wids_l = wids.tolist()
+    s_l = starts.tolist()
+    e_l = (starts + lens).tolist()
+    glex_l = glex.tolist()
     rows = {
         "id": street_id,
         "name": [name] * ncomp,
@@ -319,13 +325,13 @@ def _cluster_group(pdf: pd.DataFrame) -> pd.DataFrame:
         "segments": [
             [
                 {
-                    "way_id": int(wids[i]),
-                    "lons": flat_x[starts[i] : starts[i] + lens[i]],
-                    "lats": flat_y[starts[i] : starts[i] + lens[i]],
+                    "way_id": wids_l[i],
+                    "lons": flat_x[s_l[i] : e_l[i]],
+                    "lats": flat_y[s_l[i] : e_l[i]],
                 }
-                for i in glex[b0:b1]
+                for i in glex_l[b0:b1]
             ]
-            for b0, b1 in zip(cstart, cend)
+            for b0, b1 in zip(cstart.tolist(), cend.tolist())
         ],
     }
     return pd.DataFrame(rows)
@@ -765,22 +771,33 @@ def _split_batch(pdf: pd.DataFrame, bnds, polys, bb) -> list[dict]:
             loc_x[gnz], loc_y[gnz] = _group_midpoints(px, py, gp_start, gnpts[gnz])
 
         names_col = pdf["name"].to_numpy()
+        # bulk .tolist() conversions: numpy-scalar indexing and int()
+        # casts per output row dominated the assembly loop
+        sid_l = street_id.tolist()
+        len_l = length.tolist()
+        lx_l = loc_x.tolist()
+        ly_l = loc_y.tolist()
+        gc0 = gc[cuts].tolist()
+        gn0 = gn[cuts].tolist()
+        sw_l = seg_way.tolist()
+        po_l = pt_off.tolist()
+        osub_l = o_sub.tolist()
         for g, (b0, b1) in enumerate(zip(cuts.tolist(), cend.tolist())):
             out_rows.append(
                 {
-                    "id": int(street_id[g]),
-                    "name": names_col[int(gc[b0])],
-                    "boundary": name_uniques[int(gn[b0])],
-                    "length": float(length[g]),
-                    "loc_lon": float(loc_x[g]),
-                    "loc_lat": float(loc_y[g]),
+                    "id": sid_l[g],
+                    "name": names_col[gc0[g]],
+                    "boundary": name_uniques[gn0[g]],
+                    "length": len_l[g],
+                    "loc_lon": lx_l[g],
+                    "loc_lat": ly_l[g],
                     "segments": [
                         {
-                            "way_id": int(seg_way[si]),
-                            "lons": fx[pt_off[si] : pt_off[si + 1]],
-                            "lats": fy[pt_off[si] : pt_off[si + 1]],
+                            "way_id": sw_l[si],
+                            "lons": fx[po_l[si] : po_l[si + 1]],
+                            "lats": fy[po_l[si] : po_l[si + 1]],
                         }
-                        for si in o_sub[b0:b1].tolist()
+                        for si in osub_l[b0:b1]
                     ],
                 }
             )
@@ -791,6 +808,9 @@ def _split_batch(pdf: pd.DataFrame, bnds, polys, bb) -> list[dict]:
         sub_pdf = pdf.iloc[no_cand][
             ["id", "name", "boundary", "length", "loc_lon", "loc_lat"]
         ]
+        sw_l2 = seg_way.tolist()
+        po_l2 = pt_off.tolist()
+        so_l2 = seg_off0.tolist()
         for i, rec in zip(no_cand, sub_pdf.itertuples(index=False)):
             out_rows.append(
                 {
@@ -802,11 +822,11 @@ def _split_batch(pdf: pd.DataFrame, bnds, polys, bb) -> list[dict]:
                     "loc_lat": rec.loc_lat,
                     "segments": [
                         {
-                            "way_id": int(seg_way[si]),
-                            "lons": fx[pt_off[si] : pt_off[si + 1]],
-                            "lats": fy[pt_off[si] : pt_off[si + 1]],
+                            "way_id": sw_l2[si],
+                            "lons": fx[po_l2[si] : po_l2[si + 1]],
+                            "lats": fy[po_l2[si] : po_l2[si + 1]],
                         }
-                        for si in range(seg_off0[i], seg_off0[i + 1])
+                        for si in range(so_l2[i], so_l2[i + 1])
                     ],
                 }
             )
