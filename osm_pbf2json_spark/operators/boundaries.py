@@ -48,9 +48,13 @@ def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
     def rings_for(roles: set) -> list[np.ndarray]:
         sel = pdf[pdf["role"].isin(roles) & pdf["ids"].notna()]
         ids = [list(v) for v in sel["ids"]]
+        # parallel primitive arrays (Arrow buffers) — a planet-scale
+        # admin ring never marshals per-vertex dicts into Python
         coords = [
-            np.array([(c["lon"], c["lat"]) for c in v], np.float64).reshape(-1, 2)
-            for v in sel["coords"]
+            np.column_stack(
+                [np.asarray(lo, np.float64), np.asarray(la, np.float64)]
+            )
+            for lo, la in zip(sel["_lons"], sel["_lats"])
         ]
         # drop ways whose resolved id/coord lists are empty
         pairs = [(i, c) for i, c in zip(ids, coords) if len(i) and len(c) == len(i)]
@@ -131,9 +135,8 @@ def boundaries_from_closure(closed: EntityTables) -> DataFrame:
         .select(
             "way_id",
             F.transform("pts", lambda s: s.ref).alias("ids"),
-            F.transform(
-                "pts", lambda s: F.struct(s.lon.alias("lon"), s.lat.alias("lat"))
-            ).alias("coords"),
+            F.transform("pts", lambda s: s.lon).alias("_lons"),
+            F.transform("pts", lambda s: s.lat).alias("_lats"),
         )
     )
 
@@ -146,7 +149,8 @@ def boundaries_from_closure(closed: EntityTables) -> DataFrame:
         F.col("m.role").alias("role"),
         "pos",
         "ids",
-        "coords",
+        "_lons",
+        "_lats",
     )
 
     return grouped_input.groupBy("relation_id").applyInPandas(
