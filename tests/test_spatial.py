@@ -446,3 +446,42 @@ def test_knn_histogram_stays_off_python_rdds(spark):
         assert node not in plan, node
     got = {r["neighbor_id"] for r in out.collect()}
     assert len(got) == 3
+
+
+def test_broadcast_index_batched_refine_matches_bruteforce():
+    """The >512-candidate batched parity refine (one vectorized
+    ray-cast pass over all pairs, first-match = min matching index)
+    must agree with the per-polygon points_in_polygons loop, holes
+    included."""
+    import numpy as np
+
+    from osm_pbf2json_spark.functions.geometry import points_in_polygons
+    from osm_pbf2json_spark.operators.spatial import BroadcastPolygonIndex
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    rows = []
+    k = 0
+    for gx in range(30):
+        for gy in range(25):
+            x0, y0 = gx * 0.25, gy * 0.25
+            ring = [(x0 + 0.01, y0 + 0.01), (x0 + 0.24, y0 + 0.02),
+                    (x0 + 0.23, y0 + 0.24), (x0 + 0.02, y0 + 0.23),
+                    (x0 + 0.01, y0 + 0.01)]
+            hole = [(x0 + 0.10, y0 + 0.10), (x0 + 0.15, y0 + 0.10),
+                    (x0 + 0.15, y0 + 0.15), (x0 + 0.10, y0 + 0.15),
+                    (x0 + 0.10, y0 + 0.10)]
+            rows.append({"key": k, "polygons": [[ring, hole]]})
+            k += 1
+    idx = BroadcastPolygonIndex(rows, level=12)
+    lon = rng.uniform(0, 7.5, 8000)
+    lat = rng.uniform(0, 6.5, 8000)
+    got = idx.lookup(lon, lat)  # 750 polygons -> batched refine path
+    ref = np.full(len(lon), -1, np.int64)
+    P = np.stack([lon, lat], axis=1)
+    for ci, r in enumerate(rows):
+        polys = [[np.array(ring, float) for ring in poly]
+                 for poly in r["polygons"]]
+        m = points_in_polygons(P, polys) & (ref < 0)
+        ref[m] = ci
+    assert (got == ref).all()
+    assert (got >= 0).sum() > 1000  # hits actually exercised
