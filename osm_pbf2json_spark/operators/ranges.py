@@ -32,8 +32,9 @@ def interval_overlap_join(
     The self-join is pinned to SHUFFLE_HASH (same rationale as
     bbox_self_join): pair volume ≫ input rows, and a broadcast plan over
     a small-estimate input would evaluate every candidate pair in the
-    narrow probe stage; the pinned shuffle also makes explicit input
-    widening unnecessary."""
+    narrow probe stage; the pinned shuffle also redistributes a narrow
+    input, so no explicit pre-widening exchange is applied (see
+    bbox_self_join)."""
 
     def bin_of(c):
         return F.floor(c / bin_size).cast("long")

@@ -521,8 +521,12 @@ def bbox_self_join(
     would evaluate every candidate pair inside the narrow probe side's
     scan stage, serial no matter how many cores exist. The pinned
     shuffle redistributes both sides across the full shuffle
-    parallelism, so no explicit input widening (an extra round-robin
-    exchange) is needed either.
+    parallelism, so no explicit input widening is applied: the explode
+    map side runs at the SCAN's parallelism, which for any real
+    multi-file table is already wide — pre-widening only pays off for
+    a single-file input replicated far beyond its size (measured: a
+    round-robin exchange costs ~3× the whole query at bench scale,
+    and helps only above ~4× replication on 32 cores).
     """
     withc = boxes.withColumn(
         "_cell", F.explode(_bbox_cells(F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"), pad, cell))
